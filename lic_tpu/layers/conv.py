@@ -1,0 +1,166 @@
+"""Convolution helpers with PyTorch-parity padding arithmetic, NHWC.
+
+The reference's transforms rely on two idiosyncratic paddings that must be
+reproduced exactly for shape/value parity:
+
+* down path:  ``ZeroPad2d((1, 2, 1, 2)) + Conv2d(k=5, s=2, p=0)``
+  (``model/net.py:97-98``) — asymmetric (lo=1, hi=2) explicit padding.
+* up path:    ``ZeroPad2d((1, 0, 1, 0)) + ConvTranspose2d(k=5, s=2, p=3,
+  output_padding=1)`` (``model/net.py:128-129``) — together these map
+  H → 2H exactly.
+
+``ConvTranspose2d`` here implements torch's transposed-conv semantics via
+``lax.conv_general_dilated`` with ``lhs_dilation`` (input dilation) and the
+equivalent explicit padding ``(k-1-p, k-1-p+output_padding)`` — this is the
+XLA-native formulation (a single fused conv, no scatter).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+Pad = Union[int, Tuple[int, int, int, int], Sequence[Tuple[int, int]]]
+
+default_kernel_init = nn.initializers.xavier_uniform()
+default_bias_init = nn.initializers.zeros_init()
+
+
+def _norm_padding(padding: Pad) -> Sequence[Tuple[int, int]]:
+    """Normalize padding to ((top, bottom), (left, right)).
+
+    Accepts an int (symmetric, torch ``padding=p``) or a 4-tuple in torch
+    ``ZeroPad2d`` order ``(left, right, top, bottom)``.
+    """
+    if isinstance(padding, int):
+        return ((padding, padding), (padding, padding))
+    if len(padding) == 4 and all(isinstance(p, int) for p in padding):
+        left, right, top, bottom = padding
+        return ((top, bottom), (left, right))
+    return tuple(padding)  # already ((t,b),(l,r))
+
+
+class Conv2d(nn.Module):
+    """NHWC conv with torch-style explicit padding.
+
+    ``padding`` accepts an int (torch ``padding=p``) or a torch-``ZeroPad2d``
+    4-tuple ``(left, right, top, bottom)`` so the reference's asymmetric
+    ``(1, 2, 1, 2)`` down-padding transcribes directly.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: Pad = 0
+    use_bias: bool = True
+    kernel_init: Callable = default_kernel_init
+    bias_init: Callable = default_bias_init
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=_norm_padding(self.padding),
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=self.bias_init,
+            dtype=self.dtype,
+        )(x)
+
+
+class ConvTranspose2d(nn.Module):
+    """Torch-semantics transposed conv (NHWC), shape parity:
+
+    ``out = (in - 1) * stride - 2 * padding + kernel + output_padding``.
+
+    Kernel stored HWIO in correlation orientation; relative to a torch
+    checkpoint ``W_t[in, out, a, b]`` the mapping is
+    ``kernel[a', b', in, out] = W_t[in, out, k-1-a', k-1-b']`` (spatial flip
+    + axis permute) — handled by the checkpoint importer, irrelevant for
+    training from scratch.
+    """
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 2
+    padding: int = 2
+    output_padding: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = default_kernel_init
+    bias_init: Callable = default_bias_init
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, in_ch, self.features), jnp.float32
+        )
+        pad_lo = k - 1 - self.padding
+        pad_hi = k - 1 - self.padding + self.output_padding
+        dtype = self.dtype or x.dtype
+        y = lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(1, 1),
+            padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
+class SubpelConv2d(nn.Module):
+    """3x3 conv + pixel shuffle (sub-pixel upsampling).
+
+    Reference: ``layers/layers.py:45-49`` (``subpel_conv3x3``).  Pixel-shuffle
+    in NHWC is a pure reshape/transpose — XLA fuses it into the conv epilogue.
+    """
+
+    features: int
+    r: int = 2
+    kernel_size: int = 3
+    kernel_init: Callable = default_kernel_init
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        r = self.r
+        y = nn.Conv(
+            features=self.features * r * r,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            padding=self.kernel_size // 2,
+            kernel_init=self.kernel_init,
+            bias_init=default_bias_init,
+        )(x)
+        b, h, w, _ = y.shape
+        # torch PixelShuffle channel order: c_out-major, then (r, r).
+        y = y.reshape(b, h, w, self.features, r, r)
+        y = y.transpose(0, 1, 4, 2, 5, 3)
+        return y.reshape(b, h * r, w * r, self.features)
+
+
+def conv1x1(features: int, stride: int = 1, **kw) -> Conv2d:
+    return Conv2d(features, kernel_size=1, stride=stride, padding=0, **kw)
+
+
+def conv3x3(features: int, stride: int = 1, **kw) -> Conv2d:
+    return Conv2d(features, kernel_size=3, stride=stride, padding=1, **kw)
+
+
+def conv5x5(features: int, stride: int = 1, **kw) -> Conv2d:
+    return Conv2d(features, kernel_size=5, stride=stride, padding=2, **kw)
+
+
+def conv7x7(features: int, stride: int = 1, **kw) -> Conv2d:
+    return Conv2d(features, kernel_size=7, stride=stride, padding=3, **kw)

@@ -1,0 +1,117 @@
+"""GDN / IGDN — generalized divisive normalization, NHWC channel-matmul form.
+
+The reference computes the norm pool with a 1x1 conv over channels
+(``F.conv2d(x**2, gamma.view(C, C, 1, 1), beta)``, ``model/gdn.py:85``).
+In NHWC that 1x1 conv *is* a channel matmul — a single MXU op:
+
+    ``norm[..., o] = sum_i gamma[o, i] * x[..., i]**2 + beta[o]``
+
+Two inverse semantics exist in the reference tree and both are kept:
+
+* ``GDN``  — ``y = x / sqrt(norm)``            (``model/gdn.py:86-89``)
+* ``IGDN`` — ``y = x * sqrt(norm)``            (``model/gdn.py:150-154``;
+  same as CompressAI ``GDN(inverse=True)`` used by ``ResidualBlockUpsample``)
+* ``GDN1`` — abs variant ``y = x / norm`` with ``norm = Γ|x| + β``
+  (``layers/gdn.py:86-104``; available but unused by the reference models)
+
+Parameters are stored in NonNegativeParametrizer space exactly like the
+reference (beta init ``sqrt(1 + ped)``, gamma init ``sqrt(0.1·I + ped)``)
+so gradients through ``lower_bound`` are bit-exact in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.bounds import lower_bound
+
+
+class GDN(nn.Module):
+    """Generalized divisive normalization: ``y = x / sqrt(beta + Γ x²)``."""
+
+    num_features: int
+    inverse: bool = False
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+    reparam_offset: float = 2 ** -18
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ch = self.num_features
+        assert x.shape[-1] == ch, f"GDN expects {ch} channels, got {x.shape[-1]}"
+        ped = self.reparam_offset ** 2
+        beta_bound = (self.beta_min + ped) ** 0.5
+        gamma_bound = self.reparam_offset
+
+        beta_p = self.param(
+            "beta", lambda key: jnp.sqrt(jnp.ones((ch,), jnp.float32) + ped)
+        )
+        gamma_p = self.param(
+            "gamma",
+            lambda key: jnp.sqrt(
+                self.gamma_init * jnp.eye(ch, dtype=jnp.float32) + ped
+            ),
+        )
+
+        dtype = self.dtype or x.dtype
+        beta = lower_bound(beta_p, jnp.float32(beta_bound)) ** 2 - ped
+        gamma = lower_bound(gamma_p, jnp.float32(gamma_bound)) ** 2 - ped
+
+        xc = x.astype(dtype)
+        # gamma[o, i]: output channel o pools squared input channel i —
+        # identical orientation to the reference's conv weight view(C, C, 1, 1).
+        norm = (
+            jnp.einsum(
+                "...i,oi->...o", xc * xc, gamma.astype(dtype),
+                preferred_element_type=dtype,
+            )
+            + beta.astype(dtype)
+        )
+        if self.inverse:
+            return xc * jnp.sqrt(norm)
+        return xc / jnp.sqrt(norm)
+
+
+def IGDN(num_features: int, **kw) -> GDN:
+    """Reference IGDN: multiply by ``sqrt(norm)`` (``model/gdn.py:154``)."""
+    return GDN(num_features=num_features, inverse=True, **kw)
+
+
+class GDN1(nn.Module):
+    """Simplified GDN (abs variant): ``y = x / (beta + Γ|x|)``.
+
+    Reference: ``layers/gdn.py:86-104`` (available, unused by the models).
+    """
+
+    num_features: int
+    inverse: bool = False
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+    reparam_offset: float = 2 ** -18
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ch = self.num_features
+        ped = self.reparam_offset ** 2
+        beta_bound = (self.beta_min + ped) ** 0.5
+        gamma_bound = self.reparam_offset
+        beta_p = self.param(
+            "beta", lambda key: jnp.sqrt(jnp.ones((ch,), jnp.float32) + ped)
+        )
+        gamma_p = self.param(
+            "gamma",
+            lambda key: jnp.sqrt(
+                self.gamma_init * jnp.eye(ch, dtype=jnp.float32) + ped
+            ),
+        )
+        beta = lower_bound(beta_p, jnp.float32(beta_bound)) ** 2 - ped
+        gamma = lower_bound(gamma_p, jnp.float32(gamma_bound)) ** 2 - ped
+        norm = jnp.einsum("...i,oi->...o", jnp.abs(x), gamma) + beta
+        if self.inverse:
+            return x * norm
+        return x / norm

@@ -1,0 +1,199 @@
+"""Swin-style window attention, NHWC-native.
+
+Re-design of ``/root/reference/layers/win_attention.py`` (WindowAttention /
+WinBasedAttention) and ``layers/layers.py:56-111`` (Win_noShift_Attention).
+
+TPU notes: the reference's NCHW→NHWC permutes vanish here (we are NHWC
+already); window partition/reverse are pure reshapes; the SW-MSA mask and
+relative-position index are built with numpy at trace time (static shapes)
+so they constant-fold into the compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import ResidualBlock
+from .conv import Conv2d
+
+
+def window_partition(x: jax.Array, window_size: int) -> jax.Array:
+    """(B, H, W, C) → (B·nW, ws·ws, C)."""
+    b, h, w, c = x.shape
+    ws = window_size
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def window_reverse(windows: jax.Array, window_size: int, h: int, w: int) -> jax.Array:
+    """(B·nW, ws·ws, C) → (B, H, W, C)."""
+    ws = window_size
+    c = windows.shape[-1]
+    b = windows.shape[0] // ((h // ws) * (w // ws))
+    x = windows.reshape(b, h // ws, w // ws, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+def relative_position_index(ws: int) -> np.ndarray:
+    """Pairwise relative-position index into a (2ws-1)² bias table (static)."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)  # (ws², ws²)
+
+
+def swin_shift_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """SW-MSA additive mask (nW, ws², ws²), 0 / -100 like the reference
+    (``layers/win_attention.py:160-179``).  Static — built in numpy."""
+    img_mask = np.zeros((1, h, w, 1), np.float32)
+    h_slices = (slice(0, -ws), slice(-ws, -shift), slice(-shift, None))
+    w_slices = (slice(0, -ws), slice(-ws, -shift), slice(-shift, None))
+    cnt = 0
+    for hs in h_slices:
+        for wsl in w_slices:
+            img_mask[:, hs, wsl, :] = cnt
+            cnt += 1
+    m = img_mask.reshape(1, h // ws, ws, w // ws, ws, 1)
+    m = m.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
+    diff = m[:, None, :] - m[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    """W-MSA over already-partitioned windows, with relative position bias.
+
+    Input: (B·nW, N=ws², C).  Reference: ``layers/win_attention.py:38-116``.
+    """
+
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+        bw, n, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+        scale = hd ** -0.5
+        ws = self.window_size
+
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(bw, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32
+        )
+
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(stddev=0.02),
+            ((2 * ws - 1) * (2 * ws - 1), nh),
+            jnp.float32,
+        )
+        idx = relative_position_index(ws).reshape(-1)
+        rel_bias = bias_table[idx].reshape(n, n, nh).transpose(2, 0, 1)
+        attn = attn + rel_bias[None].astype(attn.dtype)
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bw // nw, nw, nh, n, n) + mask[None, :, None].astype(
+                attn.dtype
+            )
+            attn = attn.reshape(bw, nh, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
+        out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+        return nn.Dense(c, name="proj")(out)
+
+
+class WinBasedAttention(nn.Module):
+    """Swin block: optional cyclic shift + (S)W-MSA + residual.
+
+    Reference: ``layers/win_attention.py:119-209``.  DropPath rate is 0 in
+    every reference instantiation, so the residual is plain.
+    """
+
+    dim: int
+    num_heads: int = 8
+    window_size: int = 8
+    shift_size: int = 0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        ws, ss = self.window_size, self.shift_size
+        assert 0 <= ss < ws, "shift_size must be in [0, window_size)"
+        shortcut = x
+
+        if ss > 0:
+            mask = jnp.asarray(swin_shift_mask(h, w, ws, ss))
+            x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
+        else:
+            mask = None
+
+        windows = window_partition(x, ws)
+        attn = WindowAttention(
+            dim=c, window_size=ws, num_heads=self.num_heads, name="attn"
+        )(windows, mask=mask)
+        x = window_reverse(attn, ws, h, w)
+
+        if ss > 0:
+            x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
+        return shortcut + x
+
+
+class WinNoShiftAttention(nn.Module):
+    """Two-branch window-attention gate: ``a · σ(b) + x``.
+
+    ``conv_a`` = 3×ResidualBlock; ``conv_b`` = WinBasedAttention interleaved
+    with 1x1/3x3/7x7 convs and ResidualBlocks.  Despite the name it *does*
+    shift when ``shift_size > 0`` — exactly like the reference
+    (``layers/layers.py:56-111``).
+    """
+
+    dim: int
+    num_heads: int = 8
+    window_size: int = 8
+    shift_size: int = 0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n = self.dim
+        wba = lambda name: WinBasedAttention(
+            dim=n,
+            num_heads=self.num_heads,
+            window_size=self.window_size,
+            shift_size=self.shift_size,
+            name=name,
+        )
+        a = x
+        for i in range(3):
+            a = ResidualBlock(n, name=f"conv_a_{i}")(a)
+
+        b = wba("wba0")(x)
+        b = Conv2d(n, kernel_size=1, name="c1x1")(b)
+        b = wba("wba1")(b)
+        b = ResidualBlock(n, name="rb1")(b)
+        b = Conv2d(n, kernel_size=3, padding=1, name="c3x3")(b)
+        b = wba("wba2")(b)
+        b = ResidualBlock(n, name="rb2")(b)
+        b = Conv2d(n, kernel_size=7, padding=3, name="c7x7")(b)
+        b = wba("wba3")(b)
+        b = ResidualBlock(n, name="rb3")(b)
+
+        return a * jax.nn.sigmoid(b) + x
