@@ -1,0 +1,119 @@
+"""Bitstream primitives on top of the rANS core.
+
+``CodecCoder`` owns the quantized-CDF tables for the two entropy-model
+kinds the codecs use and exposes symbol-level encode/decode:
+
+* factorized prior  — one CDF row per channel, from
+  ``EntropyBottleneck.pmf_table`` (device) quantized on host;
+* conditional Gaussian — one CDF row per entry of a 64-point log-spaced
+  scale table (the standard CompressAI ``get_scale_table`` grid, 0.11..256),
+  symbols coded as ``round(y − μ)`` with per-position scale indexes.
+
+The full model-level ``compress()``/``decompress()`` pipelines (including
+the sequential ChARM slice decode) live in ``lic_tpu.models.compress``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .rans import RansCodec, pmf_to_quantized_cdf
+
+SCALES_MIN = 0.11
+SCALES_MAX = 256.0
+SCALES_LEVELS = 64
+
+
+def get_scale_table(
+    smin: float = SCALES_MIN, smax: float = SCALES_MAX, levels: int = SCALES_LEVELS
+) -> np.ndarray:
+    """Log-spaced scale grid (CompressAI-standard)."""
+    return np.exp(np.linspace(math.log(smin), math.log(smax), levels))
+
+
+def _gaussian_pmf(scale: float, radius: int) -> np.ndarray:
+    from scipy.special import erf  # available in image; fallback below
+
+    xs = np.arange(-radius, radius + 1, dtype=np.float64)
+    upper = 0.5 * (1 + erf((xs + 0.5) / (scale * math.sqrt(2))))
+    lower = 0.5 * (1 + erf((xs - 0.5) / (scale * math.sqrt(2))))
+    return np.maximum(upper - lower, 0.0)
+
+
+class GaussianCoder:
+    """rANS coder over the scale-table grid for (y − μ) residuals."""
+
+    def __init__(self, scale_table: Optional[np.ndarray] = None, radius: int = 64):
+        self.scale_table = (
+            np.asarray(scale_table) if scale_table is not None else get_scale_table()
+        )
+        self.radius = radius
+        rows = []
+        for s in self.scale_table:
+            pmf = _gaussian_pmf(float(s), radius)
+            rows.append(pmf_to_quantized_cdf(pmf / max(pmf.sum(), 1e-12) * 0.9999))
+        self.codec = RansCodec(
+            np.stack(rows), np.full(len(rows), -radius, np.int32)
+        )
+
+    def scale_indexes(self, scales: np.ndarray) -> np.ndarray:
+        """Index of the smallest table scale >= scale (lower-bounded)."""
+        s = np.maximum(scales, self.scale_table[0])
+        return np.searchsorted(self.scale_table, s - 1e-9).clip(
+            0, len(self.scale_table) - 1
+        ).astype(np.int32)
+
+    def encode(self, y: np.ndarray, means: np.ndarray, scales: np.ndarray) -> bytes:
+        symbols = np.round(y - means).astype(np.int32)
+        return self.codec.encode(symbols, self.scale_indexes(scales))
+
+    def decode(
+        self, data: bytes, means: np.ndarray, scales: np.ndarray
+    ) -> np.ndarray:
+        symbols = self.codec.decode(data, self.scale_indexes(scales))
+        return symbols.reshape(means.shape).astype(np.float32) + means
+
+
+class FactorizedCoder:
+    """rANS coder for the factorized prior: one CDF row per channel."""
+
+    def __init__(self, pmf_table: np.ndarray, medians: np.ndarray, offset: int):
+        """pmf_table: (C, S) from ``EntropyBottleneck.pmf_table(min_sym,
+        max_sym)``; offset = min_sym; medians: (C,)."""
+        rows = [
+            pmf_to_quantized_cdf(np.clip(p, 0, 1) * 0.9999) for p in pmf_table
+        ]
+        self.codec = RansCodec(
+            np.stack(rows), np.full(len(rows), offset, np.int32)
+        )
+        self.medians = np.asarray(medians, np.float32)
+
+    def encode(self, z: np.ndarray) -> bytes:
+        """z: (B, H, W, C) — symbols are round(z − median) per channel."""
+        c = z.shape[-1]
+        symbols = np.round(z - self.medians).astype(np.int32)
+        indexes = np.broadcast_to(
+            np.arange(c, dtype=np.int32), z.shape
+        )
+        return self.codec.encode(symbols, np.ascontiguousarray(indexes))
+
+    def decode(self, data: bytes, shape: Tuple[int, ...]) -> np.ndarray:
+        c = shape[-1]
+        indexes = np.broadcast_to(np.arange(c, dtype=np.int32), shape)
+        symbols = self.codec.decode(data, np.ascontiguousarray(indexes))
+        return symbols.reshape(shape).astype(np.float32) + self.medians
+
+
+class CodecCoder:
+    """Bundle of the two coders, built from a trained model's tables."""
+
+    def __init__(
+        self,
+        gaussian: Optional[GaussianCoder] = None,
+        factorized: Optional[FactorizedCoder] = None,
+    ):
+        self.gaussian = gaussian or GaussianCoder()
+        self.factorized = factorized

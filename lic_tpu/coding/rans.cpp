@@ -1,0 +1,210 @@
+// Host-side rANS range coder for the TPU codec.
+//
+// The reference relies on CompressAI's C++ rANS backend but never calls it
+// (it reports likelihood-estimated bpp only; SURVEY.md §2.7).  This coder
+// closes that gap: device-computed quantized CDF tables in, real bitstreams
+// out.
+//
+// Design: standard 32-bit rANS with 32-bit renormalization emitting 32-bit
+// words, LIFO (encode reversed, decode forward).  Each symbol carries an
+// index selecting its CDF row — one row per channel (factorized prior) or
+// per quantized scale (conditional Gaussian).  Out-of-table values use an
+// escape slot followed by 4-bit-chunk bypass coding with continuation, so
+// any integer round-trips.
+//
+// C ABI for ctypes binding (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kProbBits = 16;          // CDF precision (must match tables)
+constexpr uint32_t kRansL = 1u << 23;       // lower bound of the interval
+constexpr uint32_t kBypassBits = 4;
+constexpr uint32_t kBypassMax = (1u << kBypassBits) - 1;
+
+struct RansEncoder {
+  uint64_t state = kRansL;
+  std::vector<uint32_t> words;  // emitted backwards
+
+  inline void put(uint32_t start, uint32_t freq) {
+    // renormalize: keep state < (kRansL >> kProbBits << 32) * freq
+    uint64_t x_max = ((uint64_t)(kRansL >> kProbBits) << 32) * freq;
+    while (state >= x_max) {
+      words.push_back((uint32_t)state);
+      state >>= 32;
+    }
+    state = ((state / freq) << kProbBits) + (state % freq) + start;
+  }
+
+  inline void put_bits(uint32_t val, uint32_t nbits) {
+    // raw bits = uniform cdf: start=val, freq=1 at precision nbits
+    uint64_t x_max = ((uint64_t)(kRansL >> nbits) << 32);
+    while (state >= x_max) {
+      words.push_back((uint32_t)state);
+      state >>= 32;
+    }
+    state = (state << nbits) + val;
+  }
+
+  size_t flush(uint8_t* out, size_t cap) {
+    std::vector<uint32_t> final_words = words;
+    final_words.push_back((uint32_t)state);
+    final_words.push_back((uint32_t)(state >> 32));
+    size_t nbytes = final_words.size() * 4;
+    if (nbytes > cap) return (size_t)-1;
+    // reverse word order so the decoder reads forward
+    for (size_t i = 0; i < final_words.size(); ++i) {
+      uint32_t wv = final_words[final_words.size() - 1 - i];
+      std::memcpy(out + i * 4, &wv, 4);
+    }
+    return nbytes;
+  }
+};
+
+struct RansDecoder {
+  uint64_t state = 0;
+  const uint8_t* ptr;
+  const uint8_t* end;
+
+  void init(const uint8_t* in, size_t n) {
+    ptr = in;
+    end = in + n;
+    uint32_t hi = read_word();
+    uint32_t lo = read_word();
+    state = ((uint64_t)hi << 32) | lo;
+  }
+
+  inline uint32_t read_word() {
+    if (ptr + 4 > end) return 0;
+    uint32_t w;
+    std::memcpy(&w, ptr, 4);
+    ptr += 4;
+    return w;
+  }
+
+  inline uint32_t peek() const { return (uint32_t)(state & ((1u << kProbBits) - 1)); }
+
+  inline void advance(uint32_t start, uint32_t freq) {
+    state = freq * (state >> kProbBits) + peek() - start;
+    while (state < kRansL && ptr < end) {
+      state = (state << 32) | read_word();
+    }
+  }
+
+  inline uint32_t get_bits(uint32_t nbits) {
+    uint32_t val = (uint32_t)(state & ((1u << nbits) - 1));
+    state >>= nbits;
+    while (state < kRansL && ptr < end) {
+      state = (state << 32) | read_word();
+    }
+    return val;
+  }
+};
+
+// zig-zag mapping for bypass-coded escape values
+inline uint32_t zigzag(int32_t v) { return (v << 1) ^ (v >> 31); }
+inline int32_t unzigzag(uint32_t u) { return (int32_t)(u >> 1) ^ -(int32_t)(u & 1); }
+
+inline void bypass_encode(RansEncoder& enc, uint32_t u) {
+  // emit 4-bit chunks most-significant-first with a continuation flag chunk
+  // count first.  Encoder runs in reverse overall, so we collect then emit
+  // reversed at the call site; simpler: encode value as a sequence of
+  // (chunk, has_more) pairs in reverse order here.
+  uint32_t chunks[12];
+  int n = 0;
+  do {
+    chunks[n++] = u & kBypassMax;
+    u >>= kBypassBits;
+  } while (u != 0);
+  // rANS is LIFO: the decoder reads items in reverse encode order.  It
+  // reads the count first, then chunks most-significant-first.  So encode
+  // chunks LSB-first (chunks[0]..chunks[n-1]) and the count last.
+  for (int i = 0; i < n; ++i) {
+    enc.put_bits(chunks[i], kBypassBits);
+  }
+  enc.put_bits((uint32_t)(n - 1), kBypassBits);  // n <= 8 for 32-bit values
+}
+
+inline uint32_t bypass_decode(RansDecoder& dec) {
+  uint32_t n = dec.get_bits(kBypassBits) + 1;
+  uint32_t u = 0;
+  for (uint32_t i = 0; i < n; ++i) {
+    u = (u << kBypassBits) | dec.get_bits(kBypassBits);
+  }
+  return u;
+}
+
+}  // namespace
+
+extern "C" {
+
+// cdfs: concatenated rows, each row_len entries, monotone, cdf[0]=0,
+// cdf[row_len-1]=2^16.  Symbol alphabet per row = row_len-1 slots where the
+// LAST slot is the escape symbol.
+// symbols: integer values; for row r, in-table values are
+// [offsets[r], offsets[r] + row_len - 3] mapping to slots [0, row_len-3];
+// anything else escapes.
+//
+// Returns number of bytes written, or -1 on overflow.
+long rans_encode_indexed(
+    const int32_t* symbols, const int32_t* indexes, long n,
+    const uint32_t* cdfs, long row_len,
+    const int32_t* offsets,
+    uint8_t* out, long out_cap) {
+  RansEncoder enc;
+  long nsyms = row_len - 2;  // usable value slots excluding escape
+  // rANS is LIFO: encode in reverse so decode is forward.
+  for (long i = n - 1; i >= 0; --i) {
+    int32_t idx = indexes[i];
+    const uint32_t* cdf = cdfs + (long)idx * row_len;
+    int32_t off = offsets[idx];
+    int64_t slot = (int64_t)symbols[i] - off;
+    if (slot >= 0 && slot < nsyms) {
+      enc.put(cdf[slot], cdf[slot + 1] - cdf[slot]);
+    } else {
+      // escape: bypass the zig-zagged overflow distance, then the escape slot
+      int64_t delta = slot < 0 ? slot : slot - (nsyms - 1);
+      bypass_encode(enc, zigzag((int32_t)delta));
+      enc.put(cdf[nsyms], cdf[nsyms + 1] - cdf[nsyms]);
+    }
+  }
+  return (long)enc.flush(out, (size_t)out_cap);
+}
+
+long rans_decode_indexed(
+    const uint8_t* in, long n_bytes,
+    const int32_t* indexes, long n,
+    const uint32_t* cdfs, long row_len,
+    const int32_t* offsets,
+    int32_t* out) {
+  RansDecoder dec;
+  dec.init(in, (size_t)n_bytes);
+  long nsyms = row_len - 2;
+  for (long i = 0; i < n; ++i) {
+    int32_t idx = indexes[i];
+    const uint32_t* cdf = cdfs + (long)idx * row_len;
+    int32_t off = offsets[idx];
+    uint32_t cum = dec.peek();
+    // linear scan is fine for small alphabets; binary search for large
+    long lo = 0, hi = nsyms;  // slots [0, nsyms] inclusive of escape
+    while (lo < hi) {
+      long mid = (lo + hi + 1) >> 1;
+      if (cdf[mid] <= cum) lo = mid; else hi = mid - 1;
+    }
+    long slot = lo;
+    dec.advance(cdf[slot], cdf[slot + 1] - cdf[slot]);
+    if (slot < nsyms) {
+      out[i] = (int32_t)(slot + off);
+    } else {
+      int32_t delta = unzigzag(bypass_decode(dec));
+      long base = delta < 0 ? 0 : (nsyms - 1);
+      out[i] = (int32_t)(base + delta + off);
+    }
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -1,0 +1,132 @@
+"""ctypes binding + CDF quantization for the C++ rANS core.
+
+Build-on-first-use: ``rans.cpp`` is compiled to a shared object next to
+this file with g++ -O3 (no pybind11 in the image; plain C ABI).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+_PRECISION = 16
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "rans.cpp")
+_SO = os.path.join(_HERE, "_rans.so")
+_LOCK = threading.Lock()
+_LIB = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _lib() -> ctypes.CDLL:
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if (not os.path.exists(_SO)) or (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        ):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.rans_encode_indexed.restype = ctypes.c_long
+        lib.rans_encode_indexed.argtypes = [
+            i32p, i32p, ctypes.c_long, u32p, ctypes.c_long, i32p,
+            u8p, ctypes.c_long,
+        ]
+        lib.rans_decode_indexed.restype = ctypes.c_long
+        lib.rans_decode_indexed.argtypes = [
+            u8p, ctypes.c_long, i32p, ctypes.c_long, u32p, ctypes.c_long,
+            i32p, i32p,
+        ]
+        _LIB = lib
+        return lib
+
+
+def pmf_to_quantized_cdf(pmf: np.ndarray, precision: int = _PRECISION) -> np.ndarray:
+    """Quantize a PMF to a monotone integer CDF summing to 2^precision.
+
+    Every in-table slot AND the trailing escape slot get frequency >= 1;
+    deficits/surpluses are settled against the largest bins.
+    pmf: (S,) probabilities over the in-table symbols.  Returns (S + 2,)
+    cdf with cdf[0] = 0, cdf[-1] = 2^precision (S in-table slots + escape).
+    """
+    pmf = np.asarray(pmf, np.float64)
+    s = pmf.size
+    total = 1 << precision
+    # reserve escape mass = max(remaining tail mass, tiny)
+    tail = max(1.0 - pmf.sum(), 0.0) + 1e-9
+    freqs = np.zeros(s + 1, np.int64)
+    scaled = np.concatenate([pmf, [tail]])
+    scaled = scaled / scaled.sum() * total
+    freqs = np.maximum(np.round(scaled).astype(np.int64), 1)
+    # fix total
+    diff = total - freqs.sum()
+    while diff != 0:
+        if diff > 0:
+            freqs[np.argmax(scaled - freqs)] += 1
+            diff -= 1
+        else:
+            candidates = np.where(freqs > 1)[0]
+            j = candidates[np.argmin((scaled - freqs)[candidates])]
+            freqs[j] -= 1
+            diff += 1
+    cdf = np.zeros(s + 2, np.uint32)
+    cdf[1:] = np.cumsum(freqs).astype(np.uint32)
+    assert cdf[-1] == total
+    return cdf
+
+
+class RansCodec:
+    """Indexed-CDF rANS: every symbol selects a CDF row.
+
+    rows: list/array of quantized CDFs with identical length ``row_len``
+    (pad shorter rows by repeating the final value and moving their escape
+    slot accordingly is NOT done here — callers build same-sized rows).
+    offsets: per-row integer value of in-table slot 0.
+    """
+
+    def __init__(self, cdf_rows: np.ndarray, offsets: np.ndarray):
+        self.cdfs = np.ascontiguousarray(cdf_rows, np.uint32)
+        assert self.cdfs.ndim == 2
+        self.row_len = self.cdfs.shape[1]
+        self.offsets = np.ascontiguousarray(offsets, np.int32)
+        assert self.offsets.shape[0] == self.cdfs.shape[0]
+
+    def encode(self, symbols: np.ndarray, indexes: np.ndarray) -> bytes:
+        symbols = np.ascontiguousarray(symbols.reshape(-1), np.int32)
+        indexes = np.ascontiguousarray(indexes.reshape(-1), np.int32)
+        assert symbols.shape == indexes.shape
+        cap = symbols.size * 16 + 1024
+        out = np.empty(cap, np.uint8)
+        n = _lib().rans_encode_indexed(
+            symbols, indexes, symbols.size, self.cdfs, self.row_len,
+            self.offsets, out, cap,
+        )
+        if n < 0:
+            raise RuntimeError("rANS encode overflow")
+        return out[:n].tobytes()
+
+    def decode(self, data: bytes, indexes: np.ndarray) -> np.ndarray:
+        indexes = np.ascontiguousarray(indexes.reshape(-1), np.int32)
+        buf = np.frombuffer(data, np.uint8)
+        buf = np.ascontiguousarray(buf)
+        out = np.empty(indexes.size, np.int32)
+        _lib().rans_decode_indexed(
+            buf, buf.size, indexes, indexes.size, self.cdfs, self.row_len,
+            self.offsets, out,
+        )
+        return out

@@ -1,0 +1,410 @@
+"""The codec core: one configurable model covering both reference families.
+
+* ``family='neural_syntax'`` — the hyperprior + spatial-context + neural-
+  syntax model (``model/net.py:429-874``): latent split into content /
+  syntax streams, ``PredictionModel_Context`` over causal patches for the
+  content, pooled hyper prediction for the syntax, per-image generated
+  decoder conv.
+* ``family='charm'`` — the channel-conditional slice models
+  (``source_net[_WAM]``, ``net_ga``, ``net_ha``, ``net_unet_ha_hs[_1]``,
+  ``Net_unet[_1|_005_5]``): 4-slice conditional entropy coding with
+  optional SWAtten and LRP, pluggable hyper paths, syntax decoder tail.
+
+TPU design notes
+----------------
+- The 4-slice chain is sequential by construction (slice i conditions on
+  decoded slices < i).  It stays a statically-unrolled 4-step loop — four
+  fat NHWC convs, each MXU-bound; no dynamic shapes.
+- The hyper decoder runs ONCE with two heads where the reference ran the
+  same module twice (``net_unet_ha_hs.py:892-895``).
+- Noise quantization threads explicit PRNG (flax 'noise' rng stream).
+- bpp counts hyper bits by default (the reference's ChARM train bpp
+  forgot them — defect §8.7; set ``count_hyper_bpp=False`` for strict
+  reference-parity numbers).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..config import CodecConfig
+from ..entropy import EntropyBottleneck, GaussianConditional, GaussianModel
+from ..entropy.context import PredictionModelContext
+from ..layers import Conv2d
+from ..layers.blocks import gelu
+from ..layers.swin import SWAtten
+from ..ops import bypass_round, quantize_ste_offset, ste_round
+from .han import HANHead, mean_shift
+from .hyper import (
+    ClassicHyperAnalysis,
+    ClassicHyperSynthesis,
+    ElicHyperAnalysis,
+    ElicHyperSynthesis,
+    LatentUnet,
+    UnetHyperAnalysis,
+    UnetHyperSynthesis,
+)
+from .syntax import ConvGenerator, PredictionModelSyntax, SyntaxModel, batch_conv
+from .transforms import AnalysisTransform, SynthesisTransform
+
+
+class CodecOutput(NamedTuple):
+    x_tilde: jax.Array          # reconstruction in [-1, 1] domain
+    bpp: jax.Array              # total estimated bits-per-pixel (scalar)
+    mse: jax.Array              # mean squared error in the [-1, 1] domain
+    bpp_y: jax.Array
+    bpp_z: jax.Array
+    bpp_syntax: jax.Array
+    extras: Dict[str, jax.Array]
+
+
+def _bpp(likelihood: jax.Array, num_pixels) -> jax.Array:
+    """Σ log p / (−log 2 · num_pixels) — reference bpp accounting
+    (``model/net.py:831-834``)."""
+    return jnp.sum(jnp.log(likelihood)) / (-np.log(2.0) * num_pixels)
+
+
+class _CharmSliceStack(nn.Module):
+    """cc_mean/cc_scale/lrp conv stack: conv3→GELU→conv3→GELU→conv3
+    (``net_unet_ha_hs.py:756-764``)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv2d(224, kernel_size=3, padding=1, name="c0")(x)
+        x = gelu(x)
+        x = Conv2d(128, kernel_size=3, padding=1, name="c1")(x)
+        x = gelu(x)
+        return Conv2d(self.out_channels, kernel_size=3, padding=1, name="c2")(x)
+
+
+class CodecModel(nn.Module):
+    cfg: CodecConfig
+
+    def setup(self):
+        cfg = self.cfg
+        N, M = cfg.N, cfg.M
+
+        self.g_a = AnalysisTransform(N, cfg.transform)
+        gs_out = M if (cfg.syntax != "none" and cfg.syntax_decoder) else 3
+        self.g_s = SynthesisTransform(N, gs_out, cfg.transform)
+
+        # ---- syntax machinery ----
+        if cfg.syntax != "none":
+            self.syntax_model = SyntaxModel(M, M, cfg.syntax)
+            if cfg.syntax_decoder:
+                self.conv_weights_gen = ConvGenerator(M, M)
+            if cfg.code_syntax:
+                self.prediction_model_syntax = PredictionModelSyntax(
+                    dim=M, outdim=2 * M,
+                    variant="wam" if cfg.syntax == "wam" else "basic",
+                )
+
+        # ---- hyper path ----
+        if cfg.family == "neural_syntax":
+            self.ha_model = ClassicHyperAnalysis(N)
+            self.hs_model = ClassicHyperSynthesis(N)
+            self.z2_sigma = self.param(
+                "z2_sigma", lambda k: jnp.ones((1, 1, 1, N), jnp.float32)
+            )
+            self.prediction_model = PredictionModelContext(
+                dim=N, outdim=2 * (N - M)
+            )
+            self.gm_z2 = GaussianModel(1e-8)
+            self.gm_content = GaussianModel(1e-8)
+            self.gm_syntax = GaussianModel(1e-8)
+        else:
+            hyper = cfg.hyper
+            if hyper == "classic_dual":
+                self.h_a = ClassicHyperAnalysis(N)
+                self.h_mean_s = ClassicHyperSynthesis(N)
+                self.h_scale_s = ClassicHyperSynthesis(N)
+                self.entropy_bottleneck = EntropyBottleneck(N)
+            elif hyper == "elic":
+                self.h_a = ElicHyperAnalysis()
+                self.h_mean_s = ElicHyperSynthesis(N)
+                self.h_scale_s = ElicHyperSynthesis(N)
+                self.entropy_bottleneck = EntropyBottleneck(192)
+            elif hyper == "unet":
+                self.h_a = UnetHyperAnalysis(N)
+                if cfg.shared_hyper_decoder:
+                    self.h_s = UnetHyperSynthesis(N, two_heads=True)
+                else:
+                    self.h_s_scale = UnetHyperSynthesis(N)
+                    self.h_s_means = UnetHyperSynthesis(N)
+                self.entropy_bottleneck = EntropyBottleneck(512)
+            elif hyper == "latent_unet":
+                self.unet = LatentUnet(
+                    N, N,
+                    variant="res" if cfg.unet_variant != "conv1x1" else "conv1x1",
+                    two_heads=cfg.shared_hyper_decoder,
+                )
+                if not cfg.shared_hyper_decoder:
+                    self.unet_b = LatentUnet(
+                        N, N,
+                        variant="res" if cfg.unet_variant != "conv1x1" else "conv1x1",
+                    )
+            else:
+                raise ValueError(f"unknown charm hyper: {hyper}")
+
+            self.gaussian_conditional = GaussianConditional()
+            ns = cfg.num_slices
+            slice_ch = N // ns
+            if cfg.swatten:
+                self.atten_mean = [
+                    SWAtten(
+                        N + slice_ch * min(i, cfg.max_support_slices),
+                        N + slice_ch * min(i, cfg.max_support_slices),
+                        head_dim=16, window_size=cfg.swatten_window,
+                        inter_dim=128,
+                    )
+                    for i in range(ns)
+                ]
+                self.atten_scale = [
+                    SWAtten(
+                        N + slice_ch * min(i, cfg.max_support_slices),
+                        N + slice_ch * min(i, cfg.max_support_slices),
+                        head_dim=16, window_size=cfg.swatten_window,
+                        inter_dim=128,
+                    )
+                    for i in range(ns)
+                ]
+            self.cc_mean_transforms = [
+                _CharmSliceStack(slice_ch) for _ in range(ns)
+            ]
+            self.cc_scale_transforms = [
+                _CharmSliceStack(slice_ch) for _ in range(ns)
+            ]
+            if cfg.lrp:
+                self.lrp_transforms = [
+                    _CharmSliceStack(slice_ch) for _ in range(ns)
+                ]
+
+        # ---- post-processing ----
+        if cfg.post_processing:
+            self.han = HANHead(is_high=cfg.is_high)
+            self.conv_weights_gen_han = ConvGenerator(M, 64)
+
+    # ------------------------------------------------------------------
+
+    def _noise_key(self):
+        return self.make_rng("noise")
+
+    def _decode_tail(self, x_tilde, syntax_rounded, training):
+        """g_s output → RGB via the per-image generated conv (+ optional
+        tanh + HAN post-processing)."""
+        cfg = self.cfg
+        if cfg.syntax != "none" and cfg.syntax_decoder:
+            w = self.conv_weights_gen(syntax_rounded)
+            x_bf = batch_conv(w, x_tilde)
+            if cfg.tanh_after_syntax:
+                x_bf = jnp.tanh(x_bf)
+        else:
+            x_bf = x_tilde
+        if cfg.post_processing:
+            feats = self.han(x_bf)
+            w2 = self.conv_weights_gen_han(syntax_rounded)
+            out = batch_conv(w2, feats)
+            out = mean_shift(out, sign=1)
+            return out
+        return x_bf
+
+    # ------------------------------------------------------------------
+
+    def __call__(self, x: jax.Array, training: bool = True) -> CodecOutput:
+        if self.cfg.family == "neural_syntax":
+            return self._forward_neural_syntax(x, training)
+        return self._forward_charm(x, training)
+
+    # ---------------------------------------------- neural syntax family
+
+    def _forward_neural_syntax(self, x, training):
+        cfg = self.cfg
+        N, M = cfg.N, cfg.M
+        b, h, w, _ = x.shape
+        num_pixels = b * h * w
+
+        z3 = self.g_a(x)
+        z2 = self.ha_model(z3)
+        z2_rounded = bypass_round(z2)
+        h2 = self.hs_model(z2_rounded)
+
+        syntax = self.syntax_model(z3[..., :M])          # (B,1,1,M)
+        syntax_rounded = bypass_round(syntax)
+        content = z3[..., M:]
+        content_rounded = bypass_round(content)
+
+        if training:
+            key = self._noise_key()
+            k1, k2, k3 = jax.random.split(key, 3)
+            z2_in = z2 + jax.random.uniform(k1, z2.shape, z2.dtype, -0.5, 0.5)
+            content_in = content + jax.random.uniform(
+                k2, content.shape, content.dtype, -0.5, 0.5
+            )
+            syntax_in = syntax + jax.random.uniform(
+                k3, syntax.shape, syntax.dtype, -0.5, 0.5
+            )
+        else:
+            z2_in, content_in, syntax_in = z2_rounded, content_rounded, syntax_rounded
+
+        z2_lik = self.gm_z2(z2_in, self.z2_sigma, jnp.zeros_like(self.z2_sigma))
+
+        mu_c, sigma_c = self.prediction_model(content_rounded, h2, masked=True)
+        content_lik = self.gm_content(content_in, sigma_c, mu_c)
+
+        # intended semantics (σ = exp head), not the reference's swapped
+        # unpack (defect §8.10)
+        mu_s, sigma_s = self.prediction_model_syntax(h2)
+        syntax_lik = self.gm_syntax(syntax_in, sigma_s, mu_s)
+
+        x_tilde = self.g_s(content_rounded)
+        x_tilde = self._decode_tail(x_tilde, syntax_rounded, training)
+
+        bpp_z = _bpp(z2_lik, num_pixels)
+        bpp_y = _bpp(content_lik, num_pixels)
+        bpp_s = _bpp(syntax_lik, num_pixels)
+        bpp = bpp_z + bpp_y + bpp_s
+        mse = jnp.mean((x_tilde - x) ** 2)
+
+        return CodecOutput(
+            x_tilde=x_tilde, bpp=bpp, mse=mse,
+            bpp_y=bpp_y, bpp_z=bpp_z, bpp_syntax=bpp_s,
+            extras={
+                "y_hat": content_rounded,
+                "syntax": syntax_rounded,
+                "content_mu": mu_c,
+                "content_sigma": sigma_c,
+            },
+        )
+
+    # ------------------------------------------------------- charm family
+
+    def _hyper_forward(self, z3, training):
+        """Run the configured hyper path.
+
+        Returns (latent_scales, latent_means, z_likelihood | None, z_hat | None).
+        """
+        cfg = self.cfg
+        if cfg.hyper == "latent_unet":
+            # conditions on the UNQUANTIZED latent; nothing is coded
+            # (Net_unet.py:1014-1015 — kept as-is, flagged non-coded)
+            if cfg.shared_hyper_decoder:
+                scales, means = self.unet(z3)
+            else:
+                scales = self.unet(z3)
+                means = self.unet_b(z3)
+            return scales, means, None, None
+
+        if cfg.hyper == "unet":
+            z, middle, skip1, inp = self.h_a(z3)
+        else:
+            z = self.h_a(z3)
+
+        key = self._noise_key() if training else None
+        _, z_lik = self.entropy_bottleneck(z, training=training, key=key)
+        medians = self.entropy_bottleneck.medians  # (C,)
+        z_hat = quantize_ste_offset(z, medians[None, None, None, :])
+
+        if cfg.hyper == "unet":
+            if cfg.shared_hyper_decoder:
+                scales, means = self.h_s(z_hat, middle, skip1, inp)
+            else:
+                scales = self.h_s_scale(z_hat, middle, skip1, inp)
+                means = self.h_s_means(z_hat, middle, skip1, inp)
+        else:
+            scales = self.h_scale_s(z_hat)
+            means = self.h_mean_s(z_hat)
+        return scales, means, z_lik, z_hat
+
+    def _forward_charm(self, x, training):
+        cfg = self.cfg
+        N, M = cfg.N, cfg.M
+        b, h, w, _ = x.shape
+        num_pixels = b * h * w
+
+        z3 = self.g_a(x)
+        yh, yw = z3.shape[1], z3.shape[2]
+
+        latent_scales, latent_means, z_lik, _ = self._hyper_forward(z3, training)
+
+        if cfg.syntax != "none":
+            syntax = self.syntax_model(z3[..., :M])
+            syntax_rounded = bypass_round(syntax)
+        else:
+            syntax_rounded = None
+
+        ns = cfg.num_slices
+        y_slices = jnp.split(z3, ns, axis=-1)
+        y_hat_slices = []
+        y_liks = []
+        mus, sigmas = [], []
+        for i, y_slice in enumerate(y_slices):
+            support = (
+                y_hat_slices
+                if cfg.max_support_slices < 0
+                else y_hat_slices[: cfg.max_support_slices]
+            )
+            mean_support = jnp.concatenate([latent_means] + support, axis=-1)
+            if cfg.swatten:
+                mean_support = self.atten_mean[i](mean_support)
+            mu = self.cc_mean_transforms[i](mean_support)[:, :yh, :yw, :]
+
+            scale_support = jnp.concatenate([latent_scales] + support, axis=-1)
+            if cfg.swatten:
+                scale_support = self.atten_scale[i](scale_support)
+            scale = self.cc_scale_transforms[i](scale_support)[:, :yh, :yw, :]
+
+            key = self._noise_key() if training else None
+            _, y_lik = self.gaussian_conditional(
+                y_slice, scale, mu, training=training, key=key
+            )
+            y_liks.append(y_lik)
+            mus.append(mu)
+            sigmas.append(scale)
+
+            y_hat_slice = ste_round(y_slice - mu) + mu
+            if cfg.lrp:
+                lrp_in = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
+                lrp = 0.5 * jnp.tanh(self.lrp_transforms[i](lrp_in))
+                y_hat_slice = y_hat_slice + lrp
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        y_likelihoods = jnp.concatenate(y_liks, axis=-1)
+
+        x_tilde = self.g_s(y_hat)
+        x_tilde = self._decode_tail(x_tilde, syntax_rounded, training)
+
+        bpp_y = _bpp(y_likelihoods, num_pixels)
+        if z_lik is not None and cfg.count_hyper_bpp:
+            bpp_z = _bpp(z_lik, num_pixels)
+        else:
+            bpp_z = jnp.zeros(())
+        bpp = bpp_y + bpp_z
+        mse = jnp.mean((x_tilde - x) ** 2)
+
+        return CodecOutput(
+            x_tilde=x_tilde, bpp=bpp, mse=mse,
+            bpp_y=bpp_y, bpp_z=bpp_z, bpp_syntax=jnp.zeros(()),
+            extras={
+                "y_hat": y_hat,
+                "means": jnp.concatenate(mus, axis=-1),
+                "scales": jnp.concatenate(sigmas, axis=-1),
+            },
+        )
+
+    # ---------------------------------------------------------- aux loss
+
+    def entropy_aux_loss(self) -> jax.Array:
+        """Factorized-prior quantile loss (0 when no EntropyBottleneck)."""
+        if self.cfg.family == "charm" and self.cfg.hyper in (
+            "classic_dual", "elic", "unet"
+        ):
+            return self.entropy_bottleneck.aux_loss()
+        return jnp.zeros(())

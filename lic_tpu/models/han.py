@@ -1,0 +1,162 @@
+"""HAN post-processing head (Holistic Attention Network, upsampler removed).
+
+Re-design of ``/root/reference/model/han.py:12-285``: RCAB channel-attention
+blocks in residual groups, layer attention (LAM) across the group outputs,
+channel-spatial attention (CSAM) via a 3-D conv, and the DIV2K mean shift.
+4 groups × 8 blocks (low rate) / 6 × 12 (high rate) — ``han.py:224-229``.
+
+Output is 64 feature channels; the codec maps them to RGB with a second
+per-image generated 1x1 conv (``model/net.py:813-817``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+from ..layers import Conv2d
+
+DIV2K_RGB_MEAN = (0.4488, 0.4371, 0.4040)
+
+
+def mean_shift(x: jax.Array, sign: int, rgb_range: float = 1.0) -> jax.Array:
+    """±DIV2K mean as a fixed shift (the intended semantics of the
+    reference's frozen ``MeanShift`` conv, ``han.py:12-22``; note the
+    ChARM nets accidentally re-randomize it via ``weight_init`` —
+    defect not reproduced)."""
+    mean = jnp.asarray(DIV2K_RGB_MEAN, x.dtype) * rgb_range
+    return x + sign * mean
+
+
+class CALayer(nn.Module):
+    """Squeeze-excite channel attention (``han.py:90-106``)."""
+
+    channels: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        y = jnp.mean(x, axis=(1, 2), keepdims=True)
+        y = Conv2d(self.channels // self.reduction, kernel_size=1, name="fc0")(y)
+        y = nn.relu(y)
+        y = Conv2d(self.channels, kernel_size=1, name="fc1")(y)
+        return x * jax.nn.sigmoid(y)
+
+
+class RCAB(nn.Module):
+    """conv3 → ReLU → conv3 → CA, residual (``han.py:179-198``)."""
+
+    features: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        r = Conv2d(self.features, kernel_size=3, padding=1, name="c0")(x)
+        r = nn.relu(r)
+        r = Conv2d(self.features, kernel_size=3, padding=1, name="c1")(r)
+        r = CALayer(self.features, self.reduction, name="ca")(r)
+        return x + r
+
+
+class ResidualGroup(nn.Module):
+    """n×RCAB + conv3, residual (``han.py:201-215``)."""
+
+    features: int
+    n_resblocks: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        r = x
+        for i in range(self.n_resblocks):
+            r = RCAB(self.features, self.reduction, name=f"rcab{i}")(r)
+        r = Conv2d(self.features, kernel_size=3, padding=1, name="tail")(r)
+        return x + r
+
+
+class LAMModule(nn.Module):
+    """Layer attention across the N stacked group outputs (``han.py:108-138``).
+
+    Input (B, N, H, W, C) → (B, H, W, N·C).
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, h, w, c = x.shape
+        gamma = self.param("gamma", nn.initializers.zeros_init(), (1,))
+        flat = x.reshape(b, n, -1)
+        energy = jnp.einsum("bnd,bmd->bnm", flat, flat)
+        energy = jnp.max(energy, axis=-1, keepdims=True) - energy
+        attn = jax.nn.softmax(energy, axis=-1)
+        out = jnp.einsum("bnm,bmd->bnd", attn, flat).reshape(x.shape)
+        out = gamma * out + x
+        # (B, N, H, W, C) → (B, H, W, N·C), N-major channel order like the
+        # reference's view(B, N·C, H, W)
+        return out.transpose(0, 2, 3, 1, 4).reshape(b, h, w, n * c)
+
+
+class CSAMModule(nn.Module):
+    """Channel-spatial attention via a 1-channel 3-D conv over (C, H, W)
+    (``han.py:140-176``).  NHWC input → NDHWC conv with D = C."""
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        gamma = self.param("gamma", nn.initializers.zeros_init(), (1,))
+        # (B, D=C, H, W, 1)
+        vol = x.transpose(0, 3, 1, 2)[..., None]
+        kernel = self.param(
+            "conv", nn.initializers.xavier_uniform(), (3, 3, 3, 1, 1), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (1,))
+        g = lax.conv_general_dilated(
+            vol, kernel, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        ) + bias
+        g = jax.nn.sigmoid(g)
+        g = gamma * g
+        g = g[..., 0].transpose(0, 2, 3, 1)  # back to NHWC
+        return x * g + x
+
+
+class HANHead(nn.Module):
+    """sub_mean → head conv → residual groups (+final conv) with LAM over the
+    per-stage outputs and CSAM on the last → fuse → +head features.
+
+    Output: 64 feature channels (``han.py:262-285``).
+    """
+
+    is_high: bool = False
+    n_feats: int = 64
+    reduction: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        n_resgroups = 6 if self.is_high else 4
+        n_resblocks = 12 if self.is_high else 8
+
+        x = mean_shift(x, sign=-1)
+        x = Conv2d(self.n_feats, kernel_size=3, padding=1, name="head")(x)
+
+        res = x
+        stages = []
+        for i in range(n_resgroups):
+            res = ResidualGroup(
+                self.n_feats, n_resblocks, self.reduction, name=f"group{i}"
+            )(res)
+            stages.append(res)
+        res = Conv2d(self.n_feats, kernel_size=3, padding=1, name="body_tail")(res)
+        stages.append(res)
+        out1 = res
+
+        # reference stacks newest-first (han.py:270-273)
+        stacked = jnp.stack(stages[::-1], axis=1)  # (B, n+1, H, W, C)
+        la = LAMModule(name="la")(stacked)  # (B, H, W, (n+1)·C)
+        out2 = Conv2d(self.n_feats, kernel_size=3, padding=1, name="last_conv")(la)
+
+        out1 = CSAMModule(name="csa")(out1)
+        fused = jnp.concatenate([out1, out2], axis=-1)
+        res = Conv2d(self.n_feats, kernel_size=3, padding=1, name="last")(fused)
+        return res + x

@@ -1,0 +1,142 @@
+"""Analysis / synthesis transforms (g_a / g_s) — the three reference families.
+
+* plain      — ``model/net.py:91-148`` (4× stride-2 conv5 + GDN / deconv5 + IGDN)
+* plain_wam  — plain + ``Win_noShift_Attention`` gates
+  (``source_net_WAM.py`` g_a at the 2nd GDN + output; g_s at input + 2nd IGDN)
+* rich       — ``net_unet_ha_hs.py:197-232,287-326`` (ResidualBottleneck×3 +
+  ResidualBlockWithStride + GDN at odd stages, padded conv5 at even stages,
+  WAM gates)
+
+All NHWC; spatial contract: g_a maps (H, W) → (H/16, W/16) and g_s inverts it
+exactly for multiples of 16 (shape-parity tested against the torch padding
+arithmetic).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+from flax import linen as nn
+
+from ..layers import (
+    GDN,
+    Conv2d,
+    ConvTranspose2d,
+    ResidualBlockWithStride,
+    ResidualBottleneck,
+    WinNoShiftAttention,
+)
+
+# torch ZeroPad2d((1, 2, 1, 2)) + Conv2d(5, 2, 0): (left, right, top, bottom)
+_DOWN_PAD = (1, 2, 1, 2)
+
+
+def _down5(features: int, name: str) -> Conv2d:
+    return Conv2d(features, kernel_size=5, stride=2, padding=_DOWN_PAD, name=name)
+
+
+class _Up5(nn.Module):
+    """ZeroPad2d((1,0,1,0)) + ConvTranspose2d(5, 2, 3, output_padding=1):
+    exact H → 2H (``model/net.py:128-129``)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        import jax.numpy as jnp
+
+        x = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))
+        return ConvTranspose2d(
+            self.features, kernel_size=5, stride=2, padding=3, output_padding=1,
+            name="deconv",
+        )(x)
+
+
+class AnalysisTransform(nn.Module):
+    """g_a: 3 → N channels, /16 spatial."""
+
+    N: int
+    variant: str = "plain"  # 'plain' | 'plain_wam' | 'rich'
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n = self.N
+        if self.variant in ("plain", "plain_wam"):
+            wam = self.variant == "plain_wam"
+            x = _down5(n, "down0")(x)
+            x = GDN(n, name="gdn0")(x)
+            x = _down5(n, "down1")(x)
+            x = GDN(n, name="gdn1")(x)
+            if wam:
+                x = WinNoShiftAttention(n, 8, 8, 4, name="wam0")(x)
+            x = _down5(n, "down2")(x)
+            x = GDN(n, name="gdn2")(x)
+            x = _down5(n, "down3")(x)
+            if wam:
+                x = WinNoShiftAttention(n, 8, 4, 2, name="wam1")(x)
+            return x
+
+        assert self.variant == "rich"
+        in_dim = x.shape[-1]
+        for i in range(3):
+            x = ResidualBottleneck(in_dim, name=f"rb0_{i}")(x)
+        x = ResidualBlockWithStride(n, stride=2, name="rbs0")(x)
+        x = GDN(n, name="gdn0")(x)
+        x = _down5(n, "down1")(x)
+        x = GDN(n, name="gdn1")(x)
+        x = WinNoShiftAttention(n, 8, 8, 4, name="wam0")(x)
+        for i in range(3):
+            x = ResidualBottleneck(n, name=f"rb1_{i}")(x)
+        x = ResidualBlockWithStride(n, stride=2, name="rbs1")(x)
+        x = GDN(n, name="gdn2")(x)
+        x = _down5(n, "down3")(x)
+        x = WinNoShiftAttention(n, 8, 4, 2, name="wam1")(x)
+        return x
+
+
+class SynthesisTransform(nn.Module):
+    """g_s: C_in → ``out_channels`` (M for syntax-decoder models, 3 direct),
+    ×16 spatial."""
+
+    N: int
+    out_channels: int
+    variant: str = "plain"  # 'plain' | 'plain_wam' | 'rich'
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n = self.N
+        filters = [n, n, n, self.out_channels]
+
+        if self.variant == "plain":
+            for i, f in enumerate(filters):
+                x = _Up5(f, name=f"up{i}")(x)
+                x = GDN(f, inverse=True, name=f"igdn{i}")(x)
+            return x
+
+        if self.variant == "plain_wam":
+            x = WinNoShiftAttention(x.shape[-1], 8, 4, 2, name="wam0")(x)
+            x = _Up5(filters[0], name="up0")(x)
+            x = GDN(filters[0], inverse=True, name="igdn0")(x)
+            x = _Up5(filters[1], name="up1")(x)
+            x = GDN(filters[1], inverse=True, name="igdn1")(x)
+            x = WinNoShiftAttention(filters[1], 8, 8, 4, name="wam1")(x)
+            x = _Up5(filters[2], name="up2")(x)
+            x = GDN(filters[2], inverse=True, name="igdn2")(x)
+            x = _Up5(filters[3], name="up3")(x)
+            x = GDN(filters[3], inverse=True, name="igdn3")(x)
+            return x
+
+        assert self.variant == "rich"
+        # net_unet_ha_hs.py:287-326: WAM(ws4,ss2) in, WAM(ws8,ss2) mid
+        x = WinNoShiftAttention(x.shape[-1], 8, 4, 2, name="wam0")(x)
+        x = _Up5(filters[0], name="up0")(x)
+        x = GDN(filters[0], inverse=True, name="igdn0")(x)
+        x = _Up5(filters[1], name="up1")(x)
+        x = GDN(filters[1], inverse=True, name="igdn1")(x)
+        x = WinNoShiftAttention(filters[1], 8, 8, 2, name="wam1")(x)
+        x = _Up5(filters[2], name="up2")(x)
+        x = GDN(filters[2], inverse=True, name="igdn2")(x)
+        x = _Up5(filters[3], name="up3")(x)
+        x = GDN(filters[3], inverse=True, name="igdn3")(x)
+        return x

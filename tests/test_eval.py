@@ -1,0 +1,110 @@
+"""Eval-harness tests: padding, metric accounting, content-adaptive tuning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lic_tpu.config import CodecConfig, EvalConfig
+from lic_tpu.data.pad import pad_to_multiple, padded_size, unpad
+from lic_tpu.evaluation import content_adaptive_finetune, evaluate_image
+from lic_tpu.evaluation.metrics import mse_255, psnr_255
+from lic_tpu.models import CodecModel
+
+TINY = CodecConfig(
+    family="charm", transform="plain", hyper="classic_dual",
+    swatten=False, syntax="basic",
+)
+
+
+def _model_and_params(size=64):
+    m = CodecModel(TINY)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, size, size, 3)).astype(np.float32))
+    v = m.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        x, training=True,
+    )
+    return m, v["params"]
+
+
+class TestPad:
+    def test_padded_size(self):
+        assert padded_size(768, 512) == (768, 512)
+        assert padded_size(500, 333) == (512, 384)
+
+    def test_pad_unpad_roundtrip(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 50, 70, 3)).astype(np.float32))
+        for mode in ("replicate", "ones", "zeros"):
+            p, orig = pad_to_multiple(x, 64, mode=mode)
+            assert p.shape == (1, 64, 128, 3)
+            np.testing.assert_array_equal(np.asarray(unpad(p, orig)), np.asarray(x))
+
+    def test_replicate_edges(self):
+        x = jnp.ones((1, 2, 2, 1)) * 5.0
+        p, _ = pad_to_multiple(x, 4, mode="replicate")
+        np.testing.assert_array_equal(np.asarray(p), 5.0)
+
+
+class TestMetrics:
+    def test_psnr_identity(self):
+        x = jnp.zeros((1, 8, 8, 3))
+        v = mse_255(x, x)
+        assert float(v) == 0.0
+
+    def test_known_psnr(self):
+        # constant offset of 1/127.5 in [-1,1] domain = 1 unit in 0..255
+        x = jnp.zeros((1, 16, 16, 3))
+        y = x + 2.0 / 255.0
+        v = mse_255(x, y)
+        np.testing.assert_allclose(float(v), 1.0, atol=1e-5)
+        np.testing.assert_allclose(
+            float(psnr_255(v)), 20 * np.log10(255.0), rtol=1e-6
+        )
+
+
+class TestEvaluateImage:
+    def test_non_multiple_size_image(self):
+        m, params = _model_and_params()
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 50, 70, 3)).astype(np.float32))
+        r = evaluate_image(m, params, x, EvalConfig(pad_multiple=64))
+        assert np.isfinite(r["bpp"]) and r["bpp"] > 0
+        assert np.isfinite(r["psnr"])
+        assert r["pixels"] == 50 * 70
+
+    def test_bpp_normalized_to_true_pixels(self):
+        """Padding must not deflate bpp (fixes defect §8.9)."""
+        m, params = _model_and_params()
+        rng = np.random.default_rng(3)
+        base = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+        r_full = evaluate_image(m, params, jnp.asarray(base))
+        r_crop = evaluate_image(m, params, jnp.asarray(base[:, :33, :33]))
+        # cropped image is padded back to 64x64; per-true-pixel bpp must be
+        # larger than the full image's, not smaller
+        assert r_crop["bpp"] > r_full["bpp"] * 0.5
+
+
+class TestContentAdaptiveFinetune:
+    def test_only_ga_moves_and_loss_improves(self):
+        m, params = _model_and_params()
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+        cfg = EvalConfig(tune_iters=5, tune_lr=1e-4)
+        tuned = content_adaptive_finetune(m, params, x, cfg)
+
+        ga_moved = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree.leaves(params["g_a"]), jax.tree.leaves(tuned["g_a"])
+            )
+        )
+        assert ga_moved
+        for key in params:
+            if key == "g_a":
+                continue
+            for a, b in zip(
+                jax.tree.leaves(params[key]), jax.tree.leaves(tuned[key])
+            ):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

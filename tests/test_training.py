@@ -1,0 +1,215 @@
+"""Training-loop tests: R-D loss semantics, MS-SSIM, LR schedules, the jitted
+train step (single device and 8-device data-parallel mesh), checkpointing."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from lic_tpu.config import CodecConfig, TrainConfig
+from lic_tpu.models import CodecModel
+from lic_tpu.parallel import batch_sharding, make_mesh, replicated
+from lic_tpu.training import (
+    TrainState,
+    make_train_step,
+    ms_ssim,
+    rate_distortion_loss,
+    ssim,
+)
+from lic_tpu.training.schedule import multistep
+from lic_tpu.training.train import create_state, make_optimizer, partition_mask
+
+TINY = CodecConfig(
+    family="charm", transform="plain", hyper="classic_dual",
+    swatten=False, syntax="basic",
+)
+
+
+def _tiny_setup(batch=2, size=64, post_processing=False):
+    cfg = TINY.replace(post_processing=post_processing)
+    model = CodecModel(cfg)
+    tc = TrainConfig(batch_size=batch, crop_size=size, lmbda=0.01)
+    opt = make_optimizer(tc, steps_per_epoch=10)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (batch, size, size, 3)).astype(np.float32))
+    state = create_state(model, opt, x, seed=0)
+    return model, tc, opt, x, state
+
+
+class TestLoss:
+    def test_rd_loss_mse_form(self):
+        loss = rate_distortion_loss(
+            jnp.asarray(0.5), jnp.asarray(0.001), lmbda=0.0025
+        )
+        np.testing.assert_allclose(
+            float(loss), 0.0025 * 255 ** 2 * 0.001 + 0.5, rtol=1e-6
+        )
+
+    def test_ssim_identity(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+        assert float(ssim(x, x)) > 0.9999
+
+    def test_msssim_degrades_with_noise(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.uniform(0, 1, (1, 192, 192, 3)).astype(np.float32))
+        small = x + 0.01 * jnp.asarray(
+            rng.standard_normal(x.shape).astype(np.float32)
+        )
+        big = x + 0.2 * jnp.asarray(
+            rng.standard_normal(x.shape).astype(np.float32)
+        )
+        v0 = float(ms_ssim(x, x))
+        v1 = float(ms_ssim(x, small))
+        v2 = float(ms_ssim(x, big))
+        assert v0 > 0.999 and v0 > v1 > v2
+
+    def test_msssim_matches_torch_reference(self):
+        """Cross-check against a minimal torch MS-SSIM (same windows)."""
+        pytest.importorskip("torch")
+        import torch
+        import torch.nn.functional as F
+
+        def t_blur(x, k):
+            c = x.shape[1]
+            kh = k.view(1, 1, -1, 1).repeat(c, 1, 1, 1)
+            kw = k.view(1, 1, 1, -1).repeat(c, 1, 1, 1)
+            x = F.conv2d(x, kh, groups=c)
+            return F.conv2d(x, kw, groups=c)
+
+        def t_ssim(a, b, dr=1.0):
+            c1, c2 = (0.01 * dr) ** 2, (0.03 * dr) ** 2
+            g = torch.arange(11, dtype=torch.float64) - 5
+            k = torch.exp(-g ** 2 / (2 * 1.5 ** 2))
+            k = (k / k.sum()).float()
+            mua, mub = t_blur(a, k), t_blur(b, k)
+            saa = t_blur(a * a, k) - mua ** 2
+            sbb = t_blur(b * b, k) - mub ** 2
+            sab = t_blur(a * b, k) - mua * mub
+            cs = (2 * sab + c2) / (saa + sbb + c2)
+            s = ((2 * mua * mub + c1) / (mua ** 2 + mub ** 2 + c1)) * cs
+            return s.mean().item(), cs.mean().item()
+
+        rng = np.random.default_rng(3)
+        a = rng.uniform(0, 1, (1, 96, 96, 3)).astype(np.float32)
+        b = np.clip(a + 0.05 * rng.standard_normal(a.shape), 0, 1).astype(
+            np.float32
+        )
+        s_j, cs_j = ssim(jnp.asarray(a), jnp.asarray(b), return_cs=True)
+        at = torch.tensor(a).permute(0, 3, 1, 2)
+        bt = torch.tensor(b).permute(0, 3, 1, 2)
+        s_t, cs_t = t_ssim(at, bt)
+        np.testing.assert_allclose(float(s_j), s_t, atol=2e-5)
+        np.testing.assert_allclose(float(cs_j), cs_t, atol=2e-5)
+
+
+class TestSchedule:
+    def test_multistep_halving(self):
+        sched = multistep(1e-4, (10, 20), steps_per_epoch=5, gamma=0.5)
+        assert float(sched(0)) == pytest.approx(1e-4)
+        assert float(sched(49)) == pytest.approx(1e-4)
+        assert float(sched(50)) == pytest.approx(5e-5)
+        assert float(sched(100)) == pytest.approx(2.5e-5)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        model, tc, opt, x, state = _tiny_setup()
+        step = jax.jit(make_train_step(model, tc, opt))
+        losses = []
+        for i in range(8):
+            state, metrics = step(state, x)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+    def test_post_processing_mask_freezes_base(self):
+        model, tc, opt, x, state = _tiny_setup(post_processing=True)
+        masked = optax.masked(opt, partition_mask(post_processing=True))
+        state = create_state(model, masked, x, seed=0)
+        step = jax.jit(make_train_step(model, tc, masked))
+        p0 = state.params
+        state, _ = step(state, x)
+        # base params untouched, HAN params moved
+        ga0 = jax.tree.leaves(p0["g_a"])[0]
+        ga1 = jax.tree.leaves(state.params["g_a"])[0]
+        np.testing.assert_array_equal(np.asarray(ga0), np.asarray(ga1))
+        han_moved = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree.leaves(p0["han"]), jax.tree.leaves(state.params["han"])
+            )
+        )
+        assert han_moved
+
+
+class TestDataParallel:
+    def test_train_step_on_8_device_mesh(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        model, tc, opt, _, _ = _tiny_setup(batch=8, size=64)
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32))
+        state = create_state(model, opt, x, seed=0)
+        state = jax.device_put(state, replicated(mesh))
+        xb = jax.device_put(x, batch_sharding(mesh))
+        step = jax.jit(
+            make_train_step(model, tc, opt),
+            in_shardings=(replicated(mesh), batch_sharding(mesh)),
+            out_shardings=(replicated(mesh), replicated(mesh)),
+        )
+        state2, metrics = step(state, xb)
+        assert np.isfinite(float(metrics["loss"]))
+        # params stay replicated after update
+        leaf = jax.tree.leaves(state2.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_dp_matches_single_device(self):
+        """The mesh step computes the same loss as the unsharded step."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        model, tc, opt, _, _ = _tiny_setup(batch=8, size=64)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32))
+        state = create_state(model, opt, x, seed=0)
+        step1 = jax.jit(make_train_step(model, tc, opt))
+        _, m1 = step1(state, x)
+
+        mesh = make_mesh(8)
+        state_r = jax.device_put(state, replicated(mesh))
+        xb = jax.device_put(x, batch_sharding(mesh))
+        step8 = jax.jit(
+            make_train_step(model, tc, opt),
+            in_shardings=(replicated(mesh), batch_sharding(mesh)),
+            out_shardings=(replicated(mesh), replicated(mesh)),
+        )
+        _, m8 = step8(state_r, xb)
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m8["loss"]), rtol=1e-4
+        )
+
+
+class TestCheckpoint:
+    def test_params_npz_roundtrip(self, tmp_path):
+        from lic_tpu.utils.checkpoint import load_params, save_params
+
+        model, tc, opt, x, state = _tiny_setup()
+        path = os.path.join(tmp_path, "params.npz")
+        save_params(path, state.params)
+        restored = load_params(path, state.params)
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_strict_load_rejects_shape_mismatch(self, tmp_path):
+        from lic_tpu.utils.checkpoint import load_params, save_params
+
+        model, tc, opt, x, state = _tiny_setup()
+        path = os.path.join(tmp_path, "params.npz")
+        save_params(path, state.params)
+        bad = jax.tree.map(lambda a: np.zeros((1, 1)), state.params)
+        with pytest.raises((ValueError, KeyError)):
+            load_params(path, bad)
