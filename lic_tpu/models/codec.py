@@ -399,6 +399,65 @@ class CodecModel(nn.Module):
             },
         )
 
+    # ------------------------------------------------ bitstream sub-passes
+    #
+    # Piecewise entry points for the real encode/decode pipeline
+    # (lic_tpu.models.compress).  Only hyper paths whose decoder consumes
+    # nothing but coded data are decodable: 'classic_dual' and 'elic'.
+    # The reference's U-Net hyper feeds *encoder-side activations* —
+    # including z3 itself — into its decoder as skip tensors
+    # (net_unet_ha_hs.py:880,892), and the latent U-Net conditions on the
+    # unquantized latent (Net_unet.py:1014), so neither defines a decodable
+    # bitstream as designed; compress.py rejects them.
+
+    def analyze(self, x):
+        """Encoder transform: x → z3."""
+        return self.g_a(x)
+
+    def hyper_encode(self, z3):
+        z = self.h_a(z3)
+        if self.cfg.hyper == "unet":
+            z = z[0]
+        return z
+
+    def eb_medians(self):
+        return self.entropy_bottleneck.medians
+
+    def eb_pmf_table(self, min_sym: int, max_sym: int):
+        return self.entropy_bottleneck.pmf_table(min_sym, max_sym)
+
+    def hyper_decode(self, z_hat):
+        """z_hat → (latent_scales, latent_means) — decodable hypers only."""
+        assert self.cfg.hyper in ("classic_dual", "elic")
+        return self.h_scale_s(z_hat), self.h_mean_s(z_hat)
+
+    def syntax_from_latent(self, z3):
+        return bypass_round(self.syntax_model(z3[..., : self.cfg.M]))
+
+    def charm_entropy_params(self, latent_means, latent_scales, support, i: int):
+        """(μ, σ, mean_support) for slice ``i`` given decoded ``support``."""
+        yh, yw = latent_means.shape[1], latent_means.shape[2]
+        mean_support = jnp.concatenate([latent_means] + list(support), axis=-1)
+        if self.cfg.swatten:
+            mean_support = self.atten_mean[i](mean_support)
+        mu = self.cc_mean_transforms[i](mean_support)[:, :yh, :yw, :]
+        scale_support = jnp.concatenate([latent_scales] + list(support), axis=-1)
+        if self.cfg.swatten:
+            scale_support = self.atten_scale[i](scale_support)
+        sigma = self.cc_scale_transforms[i](scale_support)[:, :yh, :yw, :]
+        return mu, sigma, mean_support
+
+    def charm_apply_lrp(self, mean_support, y_hat_slice, i: int):
+        if not self.cfg.lrp:
+            return y_hat_slice
+        lrp_in = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
+        return y_hat_slice + 0.5 * jnp.tanh(self.lrp_transforms[i](lrp_in))
+
+    def synthesize(self, y_hat, syntax_rounded):
+        """y_hat (+ syntax vector) → reconstruction."""
+        x_tilde = self.g_s(y_hat)
+        return self._decode_tail(x_tilde, syntax_rounded, training=False)
+
     # ---------------------------------------------------------- aux loss
 
     def entropy_aux_loss(self) -> jax.Array:

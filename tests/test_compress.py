@@ -1,0 +1,121 @@
+"""Real-bitstream tests: rANS round-trips, CDF quantization, and full
+model-level compress→decompress reconstruction parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lic_tpu.coding.codec import FactorizedCoder, GaussianCoder, get_scale_table
+from lic_tpu.coding.rans import RansCodec, pmf_to_quantized_cdf
+from lic_tpu.config import CodecConfig
+from lic_tpu.models import CodecModel
+from lic_tpu.models.compress import ChannelCoder
+
+
+class TestRansCore:
+    def test_roundtrip_with_escapes(self):
+        rng = np.random.default_rng(0)
+        xs = np.arange(-20, 21)
+        rows, offs = [], []
+        for s in (0.5, 1.0, 3.0, 8.0):
+            pmf = np.exp(-0.5 * (xs / s) ** 2)
+            pmf /= pmf.sum() * 1.0001
+            rows.append(pmf_to_quantized_cdf(pmf))
+            offs.append(-20)
+        codec = RansCodec(np.stack(rows), np.asarray(offs))
+        syms = rng.integers(-60, 60, size=5000).astype(np.int32)
+        idx = rng.integers(0, 4, size=5000).astype(np.int32)
+        blob = codec.encode(syms, idx)
+        np.testing.assert_array_equal(codec.decode(blob, idx), syms)
+
+    def test_rate_near_entropy(self):
+        rng = np.random.default_rng(1)
+        xs = np.arange(-20, 21)
+        pmf = np.exp(-0.5 * (xs / 3.0) ** 2)
+        pmf /= pmf.sum()
+        cdf = pmf_to_quantized_cdf(pmf * 0.9999)
+        codec = RansCodec(cdf[None], np.asarray([-20]))
+        syms = np.clip(rng.normal(0, 3, 20000).round(), -20, 20).astype(np.int32)
+        idx = np.zeros(20000, np.int32)
+        blob = codec.encode(syms, idx)
+        ent = -(pmf * np.log2(pmf)).sum()
+        bits_per_sym = len(blob) * 8 / 20000
+        assert bits_per_sym < ent + 0.05, (bits_per_sym, ent)
+
+    def test_quantized_cdf_properties(self):
+        pmf = np.asarray([0.5, 0.3, 0.15, 0.05])
+        cdf = pmf_to_quantized_cdf(pmf * 0.999)
+        assert cdf[0] == 0 and cdf[-1] == 1 << 16
+        assert (np.diff(cdf.astype(np.int64)) >= 1).all()  # every slot codable
+
+
+class TestGaussianCoder:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(2)
+        gc = GaussianCoder()
+        means = rng.standard_normal((1, 8, 8, 16)).astype(np.float32)
+        scales = (np.abs(rng.standard_normal((1, 8, 8, 16))) * 3 + 0.05).astype(
+            np.float32
+        )
+        y = means + scales * rng.standard_normal((1, 8, 8, 16)).astype(np.float32)
+        blob = gc.encode(y, means, scales)
+        out = gc.decode(blob, means, scales)
+        np.testing.assert_allclose(out, np.round(y - means) + means, atol=1e-5)
+
+    def test_scale_indexes_lower_bound(self):
+        gc = GaussianCoder()
+        idx = gc.scale_indexes(np.asarray([0.0, 0.11, 1.0, 1000.0]))
+        table = get_scale_table()
+        assert (table[idx] >= np.asarray([0.11, 0.11, 1.0, table[-1]]) - 1e-6).all()
+
+
+class TestModelCompress:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = CodecConfig(
+            family="charm", transform="plain", hyper="classic_dual",
+            swatten=False, syntax="basic",
+        )
+        model = CodecModel(cfg)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(
+            rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32)
+        )
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            x, training=True,
+        )
+        return model, v["params"], x
+
+    def test_compress_decompress_matches_forward(self, setup):
+        model, params, x = setup
+        coder = ChannelCoder(model, params)
+        blob = coder.compress(x)
+        assert len(blob) > 8
+        rec = coder.decompress(blob)
+        # decoded reconstruction must equal the eval-mode forward recon
+        out = model.apply({"params": params}, x, training=False)
+        np.testing.assert_allclose(
+            np.asarray(rec), np.asarray(out.x_tilde), atol=1e-4
+        )
+
+    def test_real_bpp_close_to_estimate(self, setup):
+        model, params, x = setup
+        coder = ChannelCoder(model, params)
+        blob = coder.compress(x)
+        real_bpp = len(blob) * 8 / (128 * 128)
+        out = model.apply({"params": params}, x, training=False)
+        est_bpp = float(out.bpp)
+        # untrained model → large rates; real bitstream should be within
+        # ~15% + escape overhead of the likelihood estimate
+        assert real_bpp < est_bpp * 1.2 + 0.3, (real_bpp, est_bpp)
+
+    def test_undecodable_hyper_rejected(self):
+        cfg = CodecConfig(
+            family="charm", transform="plain", hyper="latent_unet",
+            swatten=False, syntax="basic",
+        )
+        model = CodecModel(cfg)
+        with pytest.raises(ValueError, match="not decodable"):
+            ChannelCoder(model, params={})
