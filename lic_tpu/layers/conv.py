@@ -26,7 +26,16 @@ from jax import lax
 
 Pad = Union[int, Tuple[int, int, int, int], Sequence[Tuple[int, int]]]
 
-default_kernel_init = nn.initializers.xavier_uniform()
+# Variance-preserving (fan-in) init.  The reference uses xavier_uniform
+# (``weight_init``, net_unet_ha_hs.py:646-652), but xavier normalizes by
+# fan_in+fan_out and collapses the forward scale through the 3→192-channel
+# analysis stack: at init the latent std lands near 0.08, *every* value
+# rounds to zero, and the whole decode path (g_s, syntax, LRP) is exactly
+# dead — zero gradients, untrainable.  He/fan-in init keeps the latent at
+# O(1) scale so quantization is non-degenerate from step 0.
+default_kernel_init = nn.initializers.variance_scaling(
+    2.0, "fan_in", "truncated_normal"
+)
 default_bias_init = nn.initializers.zeros_init()
 
 

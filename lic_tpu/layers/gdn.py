@@ -29,6 +29,19 @@ from flax import linen as nn
 
 from ..ops.bounds import lower_bound
 
+# Global switch for the fused Pallas kernel (see layers/pallas_gdn.py).
+# Toggle with `set_pallas_gdn(True)` — e.g. for TPU inference/bench runs.
+_PALLAS_GDN = False
+
+
+def set_pallas_gdn(enabled: bool) -> None:
+    global _PALLAS_GDN
+    _PALLAS_GDN = bool(enabled)
+
+
+def pallas_gdn_enabled() -> bool:
+    return _PALLAS_GDN
+
 
 class GDN(nn.Module):
     """Generalized divisive normalization: ``y = x / sqrt(beta + Γ x²)``."""
@@ -63,6 +76,12 @@ class GDN(nn.Module):
         gamma = lower_bound(gamma_p, jnp.float32(gamma_bound)) ** 2 - ped
 
         xc = x.astype(dtype)
+        if _PALLAS_GDN:
+            from .pallas_gdn import gdn_fused
+
+            return gdn_fused(
+                xc, gamma.astype(dtype), beta.astype(dtype), self.inverse
+            )
         # gamma[o, i]: output channel o pools squared input channel i —
         # identical orientation to the reference's conv weight view(C, C, 1, 1).
         norm = (

@@ -97,7 +97,17 @@ class ConvGenerator(nn.Module):
         x = nn.leaky_relu(x, 0.2)
         x = nn.Dense(256, name="fc1")(x)
         x = nn.leaky_relu(x, 0.2)
-        x = nn.Dense(self.out_dim * 3, name="fc2")(x)
+        # small-scale output init: the generated 1x1 kernels start near zero
+        # so the downstream tanh stays in its linear region — with a plain
+        # xavier head the synthesis magnitudes saturate tanh at init and the
+        # whole decode path receives zero gradient.
+        x = nn.Dense(
+            self.out_dim * 3,
+            kernel_init=nn.initializers.variance_scaling(
+                0.01, "fan_avg", "truncated_normal"
+            ),
+            name="fc2",
+        )(x)
         return x.reshape(b, 3, self.out_dim)
 
 

@@ -1,0 +1,236 @@
+"""Tests for the inventoried-but-dormant reference components and utilities:
+ViT, entroformer, masked conv, GSDN, trit-plane progressive coding, analysis
+helpers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lic_tpu.layers.entroformer import (
+    EntroformerConfig,
+    EntroformerContext,
+    TransHyperScale,
+    checkerboard_masks,
+    relative_position_buckets,
+)
+from lic_tpu.layers.misc import (
+    GSDN,
+    BlockTrain,
+    LinearAttention,
+    MaskedConv2d,
+    SpatialSelfAttention,
+    depth_to_space,
+    space_to_depth,
+)
+from lic_tpu.layers.vit import VisionTransformer, vit_latent_syntax
+
+SMALL_CFG = EntroformerConfig(dim=32, num_layers=1, num_heads=4, dim_head=8)
+
+
+class TestViT:
+    def test_latent_syntax_factory(self):
+        m = vit_latent_syntax(num_classes=16)
+        x = jnp.zeros((2, 16, 16, 3))
+        y, _ = m.init_with_output(jax.random.PRNGKey(0), x)
+        assert y.shape == (2, 16)
+
+
+class TestEntroformer:
+    def test_relative_buckets_static(self):
+        b = relative_position_buckets((4, 4), (4, 4), 5)
+        assert b.shape == (16, 16)
+        assert b.max() < 25 and b.min() >= 0
+        # center-to-adjacent is a distinct bucket; far pairs collapse to 0
+        assert b[0, 15] == 0
+
+    def test_trans_hyper_scale_down_up(self):
+        cfg = SMALL_CFG
+        down = TransHyperScale(cin=16, cout=8, scale=2, down=True, cfg=cfg)
+        x = jnp.zeros((1, 16, 16, 16))
+        y, _ = down.init_with_output(jax.random.PRNGKey(0), x)
+        assert y.shape == (1, 4, 4, 8)
+        up = TransHyperScale(cin=8, cout=16, scale=2, down=False, cfg=cfg)
+        z, _ = up.init_with_output(jax.random.PRNGKey(0), y)
+        assert z.shape == (1, 16, 16, 16)
+
+    def test_context_checkerboard_no_self_leak(self):
+        """Changing a non-anchor value must not change any prediction made
+        for non-anchor positions' (μ, σ) beyond... crucially, a position's
+        own prediction must be independent of its own value."""
+        cfg = SMALL_CFG
+        m = EntroformerContext(latent_channels=4, mode="checkerboard", cfg=cfg)
+        rng = np.random.default_rng(0)
+        y = jnp.asarray(rng.standard_normal((1, 4, 4, 4)).astype(np.float32))
+        h = jnp.asarray(rng.standard_normal((1, 4, 4, 8)).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(0), y, h)
+        mu0, s0 = m.apply(v, y, h)
+
+        anchor, _ = checkerboard_masks(4, 4)
+        # perturb one NON-anchor position
+        na = np.argwhere(~anchor)[0]
+        y2 = y.at[0, na[0], na[1], :].add(10.0)
+        mu1, s1 = m.apply(v, y2, h)
+        np.testing.assert_allclose(np.asarray(mu0), np.asarray(mu1), atol=1e-5)
+
+        # perturb one anchor position: its own prediction must not change
+        a = np.argwhere(anchor)[0]
+        y3 = y.at[0, a[0], a[1], :].add(10.0)
+        mu2, _ = m.apply(v, y3, h)
+        np.testing.assert_allclose(
+            np.asarray(mu0)[0, a[0], a[1]], np.asarray(mu2)[0, a[0], a[1]],
+            atol=1e-5,
+        )
+
+    def test_context_raster_causality(self):
+        cfg = SMALL_CFG
+        m = EntroformerContext(latent_channels=2, mode="raster", cfg=cfg)
+        rng = np.random.default_rng(1)
+        y = jnp.asarray(rng.standard_normal((1, 3, 3, 2)).astype(np.float32))
+        h = jnp.zeros((1, 3, 3, 4))
+        v = m.init(jax.random.PRNGKey(0), y, h)
+        mu0, _ = m.apply(v, y, h)
+        # perturbing the LAST raster position affects no prediction at all
+        y2 = y.at[0, 2, 2, :].add(5.0)
+        mu1, _ = m.apply(v, y2, h)
+        np.testing.assert_allclose(np.asarray(mu0), np.asarray(mu1), atol=1e-5)
+        # perturbing the FIRST position affects some later prediction
+        y3 = y.at[0, 0, 0, :].add(5.0)
+        mu2, _ = m.apply(v, y3, h)
+        assert not np.allclose(np.asarray(mu0), np.asarray(mu2), atol=1e-5)
+
+
+class TestMiscLayers:
+    def test_masked_conv_causality(self):
+        m = MaskedConv2d(features=4, kernel_size=5, mask_type="A")
+        x = jnp.zeros((1, 8, 8, 3))
+        v = m.init(jax.random.PRNGKey(0), x)
+        y0 = m.apply(v, x)
+        # center pixel must not influence its own output (mask A)
+        x2 = x.at[0, 4, 4, :].set(9.0)
+        y1 = m.apply(v, x2)
+        np.testing.assert_allclose(
+            np.asarray(y0)[0, 4, 4], np.asarray(y1)[0, 4, 4], atol=1e-6
+        )
+        # future pixel must not influence past output
+        x3 = x.at[0, 5, 5, :].set(9.0)
+        y2 = m.apply(v, x3)
+        np.testing.assert_allclose(
+            np.asarray(y0)[0, 4, 4], np.asarray(y2)[0, 4, 4], atol=1e-6
+        )
+
+    def test_gsdn_inverse_composition(self):
+        """GSDN then inverse-GSDN with the same params ≈ identity at init."""
+        fwd = GSDN(8, inverse=False)
+        x = jnp.asarray(
+            np.random.default_rng(2).standard_normal((1, 4, 4, 8)).astype(
+                np.float32
+            )
+        )
+        v = fwd.init(jax.random.PRNGKey(0), x)
+        y = fwd.apply(v, x)
+        assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+    def test_space_depth_roundtrip(self):
+        x = jnp.asarray(
+            np.random.default_rng(3).standard_normal((2, 8, 8, 4)).astype(
+                np.float32
+            )
+        )
+        np.testing.assert_array_equal(
+            np.asarray(depth_to_space(space_to_depth(x))), np.asarray(x)
+        )
+
+    def test_linear_and_spatial_attention_shapes(self):
+        x = jnp.zeros((1, 8, 8, 32))
+        for m in (LinearAttention(heads=4, dim_head=8), SpatialSelfAttention()):
+            y, _ = m.init_with_output(jax.random.PRNGKey(0), x)
+            assert y.shape == x.shape
+
+    def test_block_train_shape(self):
+        m = BlockTrain(out_channels=16, embed_dim=32, num_heads=4)
+        x = jnp.zeros((1, 4, 4, 16))
+        y, _ = m.init_with_output(jax.random.PRNGKey(0), x)
+        assert y.shape == (1, 4, 4, 16)
+
+
+class TestTritPlane:
+    def test_balanced_ternary_roundtrip(self):
+        from lic_tpu.coding.tritplane import (
+            from_balanced_ternary,
+            num_planes_for,
+            to_balanced_ternary,
+        )
+
+        rng = np.random.default_rng(4)
+        s = rng.integers(-40, 41, size=1000)
+        k = num_planes_for(40)
+        d = to_balanced_ternary(s, k)
+        np.testing.assert_array_equal(from_balanced_ternary(d), s)
+
+    def test_progressive_rate_distortion(self):
+        from lic_tpu.coding.tritplane import TritPlaneCoder, num_planes_for
+
+        rng = np.random.default_rng(5)
+        s = np.round(rng.normal(0, 8, 4096)).astype(np.int64)
+        k = num_planes_for(int(np.abs(s).max()))
+        coder = TritPlaneCoder()
+        blobs = coder.encode(s, k)
+        # full decode is exact
+        full = coder.decode(blobs, s.size, k)
+        np.testing.assert_array_equal(full, s)
+        # truncated decode degrades monotonically
+        errs = []
+        for keep in range(1, k + 1):
+            rec = coder.decode(blobs[:keep], s.size, k)
+            errs.append(float(np.mean((rec - s) ** 2)))
+        assert errs[-1] == 0.0
+        assert all(errs[i] >= errs[i + 1] for i in range(len(errs) - 1))
+
+    def test_diff_rank_roundtrip(self):
+        from lic_tpu.coding.tritplane import (
+            diff_decode,
+            diff_encode,
+            rank_decode,
+            rank_encode,
+        )
+
+        rng = np.random.default_rng(6)
+        ch = rng.integers(0, 256, size=(32, 16)).astype(np.int64)
+        d = diff_encode(ch)
+        ranks, table = rank_encode(d)
+        d2 = rank_decode(ranks, table)
+        np.testing.assert_array_equal(d2, d)
+        np.testing.assert_array_equal(diff_decode(d2), ch)
+
+
+class TestUtils:
+    def test_analyze_data(self):
+        from lic_tpu.utils.analyze import analyze_data
+
+        stats = analyze_data(np.asarray([1.0, -2.0, 3.0]), log_fn=lambda s: None)
+        assert stats["min"] == -2.0 and stats["max"] == 3.0
+
+    def test_erf(self):
+        from lic_tpu.utils.analyze import effective_receptive_field, erf_heatmap
+
+        def fn(x):  # 3x3 mean filter as a toy model
+            k = jnp.ones((3, 3, 1, 1)) / 9.0
+            return jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+
+        x = jnp.zeros((1, 9, 9, 1))
+        score = effective_receptive_field(fn, x)
+        assert score.shape == (9, 9)
+        assert score[4, 4] > 0 and score[0, 0] == 0
+        hm = erf_heatmap(score)
+        assert hm.max() <= 1.0
+
+    def test_span_profiler(self):
+        from lic_tpu.utils.profiling import reset_spans, span, span_stats
+
+        reset_spans()
+        with span("test"):
+            pass
+        assert span_stats()["test"]["count"] == 1

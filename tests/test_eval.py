@@ -50,15 +50,15 @@ class TestPad:
 class TestMetrics:
     def test_psnr_identity(self):
         x = jnp.zeros((1, 8, 8, 3))
-        v = mse_255(x, x)
-        assert float(v) == 0.0
+        v = mse_255(x, x)  # per-image (B,)
+        assert v.shape == (1,) and float(v[0]) == 0.0
 
     def test_known_psnr(self):
         # constant offset of 1/127.5 in [-1,1] domain = 1 unit in 0..255
         x = jnp.zeros((1, 16, 16, 3))
         y = x + 2.0 / 255.0
         v = mse_255(x, y)
-        np.testing.assert_allclose(float(v), 1.0, atol=1e-5)
+        np.testing.assert_allclose(float(v[0]), 1.0, atol=1e-5)
         np.testing.assert_allclose(
             float(psnr_255(v)), 20 * np.log10(255.0), rtol=1e-6
         )
