@@ -95,14 +95,16 @@ def content_adaptive_finetune(
         eval_cfg.tune_lr,
         {eval_cfg.tune_lr_drop_step: eval_cfg.tune_lr_gamma},
     )
-    opt = optax.masked(
-        optax.adam(sched),
-        lambda p: jax.tree_util.tree_map_with_path(
-            lambda path, _: any(
-                str(getattr(k, "key", k)) == "g_a" for k in path
-            ),
-            p,
-        ),
+    # freeze everything but g_a (optax.masked would leak raw gradients into
+    # the frozen leaves — multi_transform + set_to_zero is the correct form)
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: "tune"
+        if any(str(getattr(k, "key", k)) == "g_a" for k in path)
+        else "freeze",
+        params,
+    )
+    opt = optax.multi_transform(
+        {"tune": optax.adam(sched), "freeze": optax.set_to_zero()}, labels
     )
     opt_state = opt.init(params)
 

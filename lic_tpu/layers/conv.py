@@ -53,6 +53,16 @@ def _norm_padding(padding: Pad) -> Sequence[Tuple[int, int]]:
     return tuple(padding)  # already ((t,b),(l,r))
 
 
+# Global switch: lower 5×5/stride-2 convs through space-to-depth (dense
+# 3×3 over 4·C channels) — see layers/s2d_conv.py.
+_S2D_CONV = False
+
+
+def set_s2d_conv(enabled: bool) -> None:
+    global _S2D_CONV
+    _S2D_CONV = bool(enabled)
+
+
 class Conv2d(nn.Module):
     """NHWC conv with torch-style explicit padding.
 
@@ -72,16 +82,35 @@ class Conv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=_norm_padding(self.padding),
-            use_bias=self.use_bias,
-            kernel_init=self.kernel_init,
-            bias_init=self.bias_init,
-            dtype=self.dtype,
-        )(x)
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        if (
+            _S2D_CONV
+            and k == 5
+            and self.stride == 2
+            and self.padding == (1, 2, 1, 2)
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            from .s2d_conv import conv5s2_s2d
+
+            y = conv5s2_s2d(x.astype(dtype), kernel.astype(dtype))
+        else:
+            y = lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=(self.stride, self.stride),
+                padding=_norm_padding(self.padding),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
 
 
 class ConvTranspose2d(nn.Module):
@@ -113,17 +142,32 @@ class ConvTranspose2d(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init, (k, k, in_ch, self.features), jnp.float32
         )
-        pad_lo = k - 1 - self.padding
-        pad_hi = k - 1 - self.padding + self.output_padding
         dtype = self.dtype or x.dtype
-        y = lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(1, 1),
-            padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
-            lhs_dilation=(self.stride, self.stride),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        out_h = (x.shape[1] - 1) * self.stride - 2 * self.padding + k \
+            + self.output_padding
+        out_w = (x.shape[2] - 1) * self.stride - 2 * self.padding + k \
+            + self.output_padding
+        if self.stride > 1 and out_h % self.stride == 0 and out_w % self.stride == 0:
+            # zero-skipping polyphase path: s² dense stride-1 convs +
+            # interleave — ~s²/1 fewer MACs than the lhs_dilation lowering,
+            # bit-identical output (see layers/polyphase.py)
+            from .polyphase import conv_transpose2d_polyphase
+
+            y = conv_transpose2d_polyphase(
+                x.astype(dtype), kernel.astype(dtype), self.stride,
+                self.padding, self.output_padding,
+            )
+        else:
+            pad_lo = k - 1 - self.padding
+            pad_hi = k - 1 - self.padding + self.output_padding
+            y = lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=(1, 1),
+                padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+                lhs_dilation=(self.stride, self.stride),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
             y = y + bias.astype(dtype)
@@ -145,13 +189,20 @@ class SubpelConv2d(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         r = self.r
-        y = nn.Conv(
-            features=self.features * r * r,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            padding=self.kernel_size // 2,
-            kernel_init=self.kernel_init,
-            bias_init=default_bias_init,
-        )(x)
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (k, k, x.shape[-1], self.features * r * r), jnp.float32,
+        )
+        bias = self.param(
+            "bias", default_bias_init, (self.features * r * r,), jnp.float32
+        )
+        y = lax.conv_general_dilated(
+            x, kernel.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=[(k // 2, k // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias.astype(x.dtype)
         b, h, w, _ = y.shape
         # torch PixelShuffle channel order: c_out-major, then (r, r).
         y = y.reshape(b, h, w, self.features, r, r)

@@ -47,22 +47,32 @@ class TrainState(struct.PyTreeNode):
     rng: jax.Array
 
 
-def partition_mask(post_processing: bool):
-    """Mask callable for ``optax.masked``: True where the parameter belongs
-    to the currently-trained group.  post_processing=False trains everything
-    except the HAN tail (the reference's ``base_params``); True trains only
-    the HAN tail (``post_processing_params``)."""
+def partition_labels(params, post_processing: bool):
+    """'train' / 'freeze' label pytree for ``optax.multi_transform``.
+
+    post_processing=False trains everything except the HAN tail (the
+    reference's ``base_params``); True trains only the HAN tail
+    (``post_processing_params``).  NOTE: ``optax.masked`` is NOT usable for
+    freezing — it passes the raw gradients through for masked-out leaves.
+    """
 
     def is_pp(path):
         names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
         return any(str(n) in POST_PROCESSING_KEYS for n in names)
 
-    def mask_fn(params):
-        return jax.tree_util.tree_map_with_path(
-            lambda path, _: is_pp(path) == post_processing, params
-        )
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: "train" if (is_pp(path) == post_processing) else "freeze",
+        params,
+    )
 
-    return mask_fn
+
+def freeze_partition(
+    optimizer: optax.GradientTransformation, params, post_processing: bool
+) -> optax.GradientTransformation:
+    return optax.multi_transform(
+        {"train": optimizer, "freeze": optax.set_to_zero()},
+        partition_labels(params, post_processing),
+    )
 
 
 def make_optimizer(
@@ -174,11 +184,23 @@ def train(
     if mesh is None:
         mesh = make_mesh()
     optimizer = make_optimizer(train_cfg, steps_per_epoch, post_processing_phase)
-    if model.cfg.post_processing:
-        # two-phase training: freeze the group not being trained
-        optimizer = optax.masked(optimizer, partition_mask(post_processing_phase))
 
     sample = next(data_iterator)
+    if init_params is None:
+        variables = model.init(
+            {
+                "params": jax.random.PRNGKey(train_cfg.seed),
+                "noise": jax.random.PRNGKey(train_cfg.seed + 1),
+            },
+            sample,
+            training=True,
+        )
+        init_params = variables["params"]
+    if model.cfg.post_processing:
+        # two-phase training: freeze the group not being trained
+        optimizer = freeze_partition(
+            optimizer, init_params, post_processing_phase
+        )
     state = create_state(
         model, optimizer, sample, seed=train_cfg.seed, params=init_params
     )

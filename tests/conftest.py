@@ -8,8 +8,9 @@ is hardware-independent and fast.
 import os
 import sys
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere.  Force (not setdefault):
+# the environment pre-sets JAX_PLATFORMS to the tunneled TPU platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,6 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The image's sitecustomize preloads jax with JAX_PLATFORMS=axon (the
+# tunneled TPU), so the env var above can be too late — force via config
+# (backends are still uninitialized at this point).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache — keeps repeated pytest runs fast.

@@ -54,8 +54,9 @@ class TestMetrics:
         assert v.shape == (1,) and float(v[0]) == 0.0
 
     def test_known_psnr(self):
-        # constant offset of 1/127.5 in [-1,1] domain = 1 unit in 0..255
-        x = jnp.zeros((1, 16, 16, 3))
+        # constant offset of 2/255 in [-1,1] domain = 1 unit in 0..255
+        # (base 0.1 keeps values off the .5 round-half-to-even boundary)
+        x = jnp.full((1, 16, 16, 3), 0.1)
         y = x + 2.0 / 255.0
         v = mse_255(x, y)
         np.testing.assert_allclose(float(v[0]), 1.0, atol=1e-5)

@@ -50,10 +50,10 @@ class TestConvParity:
         m = Conv2d(4, kernel_size=5, stride=2, padding=(1, 2, 1, 2))
         params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
         # torch weight (out, in, kh, kw) → flax HWIO (kh, kw, in, out)
-        params = {"params": {"Conv_0": {
+        params = {"params": {
             "kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
             "bias": jnp.asarray(b),
-        }}}
+        }}
         yj = m.apply(params, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(yj), yt, rtol=1e-5, atol=1e-5)
 
@@ -102,10 +102,10 @@ class TestConvParity:
         yt = torch.nn.functional.pixel_shuffle(yt, 2).permute(0, 2, 3, 1).numpy()
 
         m = SubpelConv2d(8, r=2)
-        params = {"params": {"Conv_0": {
+        params = {"params": {
             "kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
             "bias": jnp.asarray(b),
-        }}}
+        }}
         yj = m.apply(params, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(yj), yt, rtol=1e-5, atol=1e-5)
 

@@ -123,8 +123,8 @@ class TestCharmFamily:
         )
         m, v, *_ = _run(cfg, 64)
         p = v["params"]
-        c0 = p["cc_mean_transforms_0"]["c0"]["Conv_0"]["kernel"].shape[2]
-        c3 = p["cc_mean_transforms_3"]["c0"]["Conv_0"]["kernel"].shape[2]
+        c0 = p["cc_mean_transforms_0"]["c0"]["kernel"].shape[2]
+        c3 = p["cc_mean_transforms_3"]["c0"]["kernel"].shape[2]
         n, ns = cfg.N, cfg.num_slices
         assert c0 == n
         assert c3 == n + 3 * (n // ns)

@@ -52,3 +52,63 @@ def test_gdn_fused_vjp_matches_autodiff(inverse):
     _, vjp_r = jax.vjp(f_ref, x, gamma, beta)
     for a, b in zip(vjp_f(g), vjp_r(g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+class TestPolyphaseDeconv:
+    @pytest.mark.parametrize("case", [
+        # (h, w, cin, cout, k, s, p, op) — the codec's deconv configurations
+        (9, 7, 3, 5, 5, 2, 3, 1),    # g_s up (pre-padded input)
+        (8, 6, 4, 6, 5, 2, 2, 1),    # hyper up
+        (4, 4, 2, 3, 3, 2, 1, 1),    # generic 3x3
+    ])
+    def test_matches_dilated_form(self, case):
+        from jax import lax
+
+        from lic_tpu.layers.polyphase import conv_transpose2d_polyphase
+
+        h, w, cin, cout, k, s, p, op = case
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
+        kern = jnp.asarray(
+            rng.standard_normal((k, k, cin, cout)).astype(np.float32) * 0.1
+        )
+        pad_lo = k - 1 - p
+        pad_hi = k - 1 - p + op
+        ref = lax.conv_general_dilated(
+            x, kern, (1, 1), ((pad_lo, pad_hi), (pad_lo, pad_hi)),
+            lhs_dilation=(s, s), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        out = conv_transpose2d_polyphase(x, kern, s, p, op)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+    def test_gradients_match(self):
+        from jax import lax
+
+        from lic_tpu.layers.polyphase import conv_transpose2d_polyphase
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 6, 6, 3)).astype(np.float32))
+        kern = jnp.asarray(
+            rng.standard_normal((5, 5, 3, 4)).astype(np.float32) * 0.1
+        )
+
+        def f_poly(x, k):
+            return jnp.sum(conv_transpose2d_polyphase(x, k, 2, 2, 1) ** 2)
+
+        def f_ref(x, k):
+            return jnp.sum(
+                lax.conv_general_dilated(
+                    x, k, (1, 1), ((2, 3), (2, 3)), lhs_dilation=(2, 2),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) ** 2
+            )
+
+        gp = jax.grad(f_poly, argnums=(0, 1))(x, kern)
+        gr = jax.grad(f_ref, argnums=(0, 1))(x, kern)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )

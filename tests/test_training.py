@@ -20,7 +20,7 @@ from lic_tpu.training import (
     ssim,
 )
 from lic_tpu.training.schedule import multistep
-from lic_tpu.training.train import create_state, make_optimizer, partition_mask
+from lic_tpu.training.train import create_state, freeze_partition, make_optimizer
 
 TINY = CodecConfig(
     family="charm", transform="plain", hyper="classic_dual",
@@ -128,7 +128,7 @@ class TestTrainStep:
 
     def test_post_processing_mask_freezes_base(self):
         model, tc, opt, x, state = _tiny_setup(post_processing=True)
-        masked = optax.masked(opt, partition_mask(post_processing=True))
+        masked = freeze_partition(opt, state.params, post_processing=True)
         state = create_state(model, masked, x, seed=0)
         step = jax.jit(make_train_step(model, tc, masked))
         p0 = state.params
