@@ -16,6 +16,15 @@ from .conv import Conv2d, SubpelConv2d
 from .gdn import GDN
 
 
+# Residual-branch output layers are zero-initialized (ReZero/Fixup style):
+# with variance-preserving inits every residual add doubles variance, and
+# the reference's deep residual/WAM stacks compound that to overflow (the
+# rich g_s reaches 1e6x at init).  Zero-init branches start each block at
+# identity; gradients into the zeroed layer are nonzero, so training
+# proceeds normally.
+residual_out_init = nn.initializers.zeros_init()
+
+
 def leaky_relu(x, slope: float = 0.01):
     return nn.leaky_relu(x, negative_slope=slope)
 
@@ -41,7 +50,7 @@ class ResidualUnit(nn.Module):
         out = nn.relu(out)
         out = Conv2d(n // 2, kernel_size=3, padding=1)(out)
         out = nn.relu(out)
-        out = Conv2d(n, kernel_size=1)(out)
+        out = Conv2d(n, kernel_size=1, kernel_init=residual_out_init)(out)
         out = out + x
         return nn.relu(out)
 
@@ -60,7 +69,10 @@ class ResidualBlock(nn.Module):
         identity = x
         out = Conv2d(self.features, kernel_size=3, padding=1)(x)
         out = leaky_relu(out)
-        out = Conv2d(self.features, kernel_size=3, padding=1)(out)
+        out = Conv2d(
+            self.features, kernel_size=3, padding=1,
+            kernel_init=residual_out_init,
+        )(out)
         out = leaky_relu(out)
         if x.shape[-1] != self.features:
             identity = Conv2d(self.features, kernel_size=1)(x)
@@ -81,7 +93,10 @@ class ResidualBlockWithStride(nn.Module):
     def __call__(self, x):
         out = Conv2d(self.features, kernel_size=3, stride=self.stride, padding=1)(x)
         out = leaky_relu(out)
-        out = Conv2d(self.features, kernel_size=3, padding=1)(out)
+        out = Conv2d(
+            self.features, kernel_size=3, padding=1,
+            kernel_init=residual_out_init,
+        )(out)
         out = GDN(self.features)(out)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = Conv2d(self.features, kernel_size=1, stride=self.stride)(x)
@@ -104,7 +119,10 @@ class ResidualBlockUpsample(nn.Module):
     def __call__(self, x):
         out = SubpelConv2d(self.features, r=self.upsample)(x)
         out = leaky_relu(out)
-        out = Conv2d(self.features, kernel_size=3, padding=1)(out)
+        out = Conv2d(
+            self.features, kernel_size=3, padding=1,
+            kernel_init=residual_out_init,
+        )(out)
         out = GDN(self.features, inverse=True)(out)
         identity = SubpelConv2d(self.features, r=self.upsample)(x)
         return out + identity
@@ -126,7 +144,7 @@ class ResidualBottleneck(nn.Module):
         out = self.act(out)
         out = Conv2d(n // 2, kernel_size=3, padding=1)(out)
         out = self.act(out)
-        out = Conv2d(n, kernel_size=1)(out)
+        out = Conv2d(n, kernel_size=1, kernel_init=residual_out_init)(out)
         return x + out
 
 
@@ -140,7 +158,10 @@ class ResidualBlock3x3(nn.Module):
         identity = x
         out = Conv2d(self.features, kernel_size=3, padding=1)(x)
         out = leaky_relu(out)
-        out = Conv2d(self.features, kernel_size=3, padding=1)(out)
+        out = Conv2d(
+            self.features, kernel_size=3, padding=1,
+            kernel_init=residual_out_init,
+        )(out)
         out = leaky_relu(out)
         if x.shape[-1] != self.features:
             identity = Conv2d(self.features, kernel_size=1)(x)
@@ -162,7 +183,10 @@ class ResidualBlock3_5(nn.Module):
         out = leaky_relu(out)
         out = Conv2d(self.features, kernel_size=5, padding=2)(out)
         out = leaky_relu(out)
-        out = Conv2d(self.features, kernel_size=3, padding=1)(out)
+        out = Conv2d(
+            self.features, kernel_size=3, padding=1,
+            kernel_init=residual_out_init,
+        )(out)
         out = leaky_relu(out)
         if x.shape[-1] != self.features:
             identity = Conv2d(self.features, kernel_size=1)(x)
@@ -177,7 +201,10 @@ class ResidualBlock5x5(nn.Module):
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = Conv2d(self.features, kernel_size=5, padding=2)(x)
+        out = Conv2d(
+            self.features, kernel_size=5, padding=2,
+            kernel_init=residual_out_init,
+        )(x)
         out = leaky_relu(out)
         if x.shape[-1] != self.features:
             identity = Conv2d(self.features, kernel_size=1)(x)

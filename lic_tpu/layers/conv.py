@@ -26,15 +26,18 @@ from jax import lax
 
 Pad = Union[int, Tuple[int, int, int, int], Sequence[Tuple[int, int]]]
 
-# Variance-preserving (fan-in) init.  The reference uses xavier_uniform
-# (``weight_init``, net_unet_ha_hs.py:646-652), but xavier normalizes by
-# fan_in+fan_out and collapses the forward scale through the 3→192-channel
-# analysis stack: at init the latent std lands near 0.08, *every* value
-# rounds to zero, and the whole decode path (g_s, syntax, LRP) is exactly
-# dead — zero gradients, untrainable.  He/fan-in init keeps the latent at
-# O(1) scale so quantization is non-degenerate from step 0.
+# Variance-preserving (fan-in, gain 1) init.  The reference uses
+# xavier_uniform (``weight_init``, net_unet_ha_hs.py:646-652), but xavier
+# normalizes by fan_in+fan_out and collapses the forward scale through the
+# 3→192-channel analysis stack: at init the latent std lands near 0.08,
+# *every* value rounds to zero, and the whole decode path (g_s, syntax,
+# LRP) is exactly dead — zero gradients, untrainable.  He (gain 2) is too
+# hot the other way: most convs here feed GDN/linear stages, not ReLU, so
+# gain 2 doubles variance per layer and the synthesis IGDN chain (which
+# grows quadratically in its input) explodes on the outliers.  LeCun
+# (gain 1, fan_in) keeps every stage at unit scale.
 default_kernel_init = nn.initializers.variance_scaling(
-    2.0, "fan_in", "truncated_normal"
+    1.0, "fan_in", "truncated_normal"
 )
 default_bias_init = nn.initializers.zeros_init()
 

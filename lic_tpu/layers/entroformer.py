@@ -114,7 +114,10 @@ class EntroformerAttention(nn.Module):
         attn = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhlm,bmhd->blhd", attn.astype(v.dtype), v)
         out = out.reshape(b, l, inner)
-        return nn.Dense(d, use_bias=False, name="o")(out)
+        return nn.Dense(
+            d, use_bias=False, kernel_init=nn.initializers.zeros_init(),
+            name="o",
+        )(out)
 
 
 class EntroformerBlock(nn.Module):
@@ -131,7 +134,10 @@ class EntroformerBlock(nn.Module):
         h = nn.LayerNorm(name="ln_mlp")(x)
         h = nn.Dense(self.cfg.dim * self.cfg.mlp_ratio, name="fc1")(h)
         h = nn.leaky_relu(h, 0.2)
-        h = nn.Dense(self.cfg.dim, name="fc2")(h)
+        h = nn.Dense(
+            self.cfg.dim, kernel_init=nn.initializers.zeros_init(),
+            name="fc2",
+        )(h)
         return x + h
 
 

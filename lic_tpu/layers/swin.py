@@ -91,7 +91,10 @@ class WMSA(nn.Module):
         probs = jax.nn.softmax(sim, axis=-1)
         out = jnp.einsum("bhwpq,bwqhc->bwphc", probs.astype(v.dtype), v)
         out = out.reshape(b, hw_ * ww_, ws * ws, n_heads * self.head_dim)
-        out = nn.Dense(self.output_dim, name="linear")(out)
+        out = nn.Dense(
+            self.output_dim, kernel_init=nn.initializers.zeros_init(),
+            name="linear",
+        )(out)
 
         out = out.reshape(b, hw_, ww_, ws, ws, self.output_dim)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, self.output_dim)
@@ -128,7 +131,10 @@ class SwinTransformerBlock(nn.Module):
         y = nn.LayerNorm(name="ln2")(x)
         y = nn.Dense(4 * self.input_dim, name="mlp_fc1")(y)
         y = gelu(y)
-        y = nn.Dense(self.output_dim, name="mlp_fc2")(y)
+        y = nn.Dense(
+            self.output_dim, kernel_init=nn.initializers.zeros_init(),
+            name="mlp_fc2",
+        )(y)
         return x + y
 
 

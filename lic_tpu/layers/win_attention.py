@@ -118,7 +118,10 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
-        return nn.Dense(c, name="proj")(out)
+        # zero-init residual projection (see layers.blocks.residual_out_init)
+        return nn.Dense(
+            c, kernel_init=nn.initializers.zeros_init(), name="proj"
+        )(out)
 
 
 class WinBasedAttention(nn.Module):

@@ -55,7 +55,10 @@ class RCAB(nn.Module):
     def __call__(self, x):
         r = Conv2d(self.features, kernel_size=3, padding=1, name="c0")(x)
         r = nn.relu(r)
-        r = Conv2d(self.features, kernel_size=3, padding=1, name="c1")(r)
+        r = Conv2d(
+            self.features, kernel_size=3, padding=1,
+            kernel_init=nn.initializers.zeros_init(), name="c1",
+        )(r)
         r = CALayer(self.features, self.reduction, name="ca")(r)
         return x + r
 
@@ -72,7 +75,10 @@ class ResidualGroup(nn.Module):
         r = x
         for i in range(self.n_resblocks):
             r = RCAB(self.features, self.reduction, name=f"rcab{i}")(r)
-        r = Conv2d(self.features, kernel_size=3, padding=1, name="tail")(r)
+        r = Conv2d(
+            self.features, kernel_size=3, padding=1,
+            kernel_init=nn.initializers.zeros_init(), name="tail",
+        )(r)
         return x + r
 
 

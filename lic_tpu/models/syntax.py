@@ -97,15 +97,19 @@ class ConvGenerator(nn.Module):
         x = nn.leaky_relu(x, 0.2)
         x = nn.Dense(256, name="fc1")(x)
         x = nn.leaky_relu(x, 0.2)
-        # small-scale output init: the generated 1x1 kernels start near zero
-        # so the downstream tanh stays in its linear region — with a plain
-        # xavier head the synthesis magnitudes saturate tanh at init and the
-        # whole decode path receives zero gradient.
+        # Output head init keeps the decode tail alive and linear at step 0:
+        # - small kernel scale → the generated 1x1 kernels stay small, so the
+        #   downstream tanh is in its linear region (a plain xavier head
+        #   saturates it and kills every decode-path gradient);
+        # - nonzero bias → the generated conv is a usable random projection
+        #   even when the rounded syntax vector is all zeros at init (which
+        #   it typically is), so g_s always receives gradient.
         x = nn.Dense(
             self.out_dim * 3,
             kernel_init=nn.initializers.variance_scaling(
                 0.01, "fan_avg", "truncated_normal"
             ),
+            bias_init=nn.initializers.normal(stddev=0.2),
             name="fc2",
         )(x)
         return x.reshape(b, 3, self.out_dim)

@@ -1,0 +1,46 @@
+"""Sharding tests: data-parallel semantics live in test_training; here the
+spatial (height) sharding path for large-image eval — XLA materializes the
+conv halo exchanges as collectives over the mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lic_tpu.config import CodecConfig
+from lic_tpu.models import CodecModel
+from lic_tpu.parallel import make_mesh, replicated
+
+
+TINY = CodecConfig(
+    family="charm", transform="plain", hyper="classic_dual",
+    swatten=False, syntax="basic",
+)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_spatially_sharded_eval_matches_unsharded():
+    model = CodecModel(TINY)
+    rng = np.random.default_rng(0)
+    # H = 512 → 64 rows per device at the input, 4 latent rows per device
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 512, 64, 3)).astype(np.float32))
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        x, training=True,
+    )
+
+    out_ref = model.apply(v, x, training=False)
+
+    mesh = make_mesh(8, axis_names=("spatial",))
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "spatial")))
+    ps = jax.device_put(v["params"], replicated(mesh))
+    fwd = jax.jit(
+        lambda p, xx: model.apply({"params": p}, xx, training=False).x_tilde,
+        in_shardings=(replicated(mesh), NamedSharding(mesh, P(None, "spatial"))),
+    )
+    out_sharded = fwd(ps, xs)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded), np.asarray(out_ref.x_tilde),
+        rtol=5e-4, atol=5e-4,
+    )
