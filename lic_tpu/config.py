@@ -48,7 +48,12 @@ class CodecConfig:
     # two separate decoders (net_unet_ha_hs_1.py:810-811).
     shared_hyper_decoder: bool = True
 
-    # ChARM entropy machinery (charm family only)
+    # entropy machinery over y (charm family):
+    #   'charm'       — channel-conditional slice loop (the reference's)
+    #   'entroformer' — masked-attention checkerboard AR context
+    #                   (the capability of the missing model/Block.py path;
+    #                   decodes in 2 device passes)
+    context: str = "charm"
     num_slices: int = 4
     max_support_slices: int = 4
     swatten: bool = True          # SWAtten in the slice loop (net_ga yes, source_net no)

@@ -154,9 +154,24 @@ class CodecModel(nn.Module):
                 raise ValueError(f"unknown charm hyper: {hyper}")
 
             self.gaussian_conditional = GaussianConditional()
+            if cfg.context == "entroformer":
+                from ..layers.entroformer import (
+                    EntroformerConfig,
+                    EntroformerContext,
+                )
+
+                self.entro_context = EntroformerContext(
+                    latent_channels=N,
+                    mode="checkerboard",
+                    cfg=EntroformerConfig(
+                        dim=N, num_layers=4, num_heads=8, dim_head=N // 8
+                    ),
+                )
             ns = cfg.num_slices
             slice_ch = N // ns
-            if cfg.swatten:
+            if cfg.context == "entroformer":
+                pass  # slice machinery unused
+            elif cfg.swatten:
                 self.atten_mean = [
                     SWAtten(
                         N + slice_ch * min(i, cfg.max_support_slices),
@@ -175,16 +190,17 @@ class CodecModel(nn.Module):
                     )
                     for i in range(ns)
                 ]
-            self.cc_mean_transforms = [
-                _CharmSliceStack(slice_ch) for _ in range(ns)
-            ]
-            self.cc_scale_transforms = [
-                _CharmSliceStack(slice_ch) for _ in range(ns)
-            ]
-            if cfg.lrp:
-                self.lrp_transforms = [
+            if cfg.context != "entroformer":
+                self.cc_mean_transforms = [
                     _CharmSliceStack(slice_ch) for _ in range(ns)
                 ]
+                self.cc_scale_transforms = [
+                    _CharmSliceStack(slice_ch) for _ in range(ns)
+                ]
+                if cfg.lrp:
+                    self.lrp_transforms = [
+                        _CharmSliceStack(slice_ch) for _ in range(ns)
+                    ]
 
         # ---- post-processing ----
         if cfg.post_processing:
@@ -339,6 +355,12 @@ class CodecModel(nn.Module):
         else:
             syntax_rounded = None
 
+        if cfg.context == "entroformer":
+            return self._entroformer_entropy(
+                x, z3, latent_scales, latent_means, z_lik, syntax_rounded,
+                training, num_pixels,
+            )
+
         ns = cfg.num_slices
         y_slices = jnp.split(z3, ns, axis=-1)
         y_hat_slices = []
@@ -457,6 +479,55 @@ class CodecModel(nn.Module):
         """y_hat (+ syntax vector) → reconstruction."""
         x_tilde = self.g_s(y_hat)
         return self._decode_tail(x_tilde, syntax_rounded, training=False)
+
+    # ------------------------------------------ entroformer context path
+
+    def _entroformer_entropy(
+        self, x, z3, latent_scales, latent_means, z_lik, syntax_rounded,
+        training, num_pixels,
+    ):
+        """Checkerboard masked-attention entropy coding over y: anchors are
+        predicted from the hyper alone, non-anchors from the decoded anchor
+        half — decode-consistent in 2 device passes (the TPU answer to the
+        reference's never-implemented AR decode; BASELINE config #4)."""
+        from ..layers.entroformer import checkerboard_masks
+
+        cfg = self.cfg
+        hyper = jnp.concatenate([latent_scales, latent_means], axis=-1)
+        b, yh, yw, c = z3.shape
+        anchor = jnp.asarray(
+            checkerboard_masks(yh, yw)[0], z3.dtype
+        )[None, :, :, None]
+
+        # pass 1: anchors from the hyper only
+        mu1, s1 = self.entro_context(jnp.zeros_like(z3), hyper)
+        y_hat_anchor = (ste_round(z3 - mu1) + mu1) * anchor
+        # pass 2: non-anchors see decoded anchors
+        mu2, s2 = self.entro_context(y_hat_anchor, hyper)
+        mu = anchor * mu1 + (1 - anchor) * mu2
+        sigma = anchor * s1 + (1 - anchor) * s2
+
+        key = self._noise_key() if training else None
+        _, y_lik = self.gaussian_conditional(
+            z3, sigma, mu, training=training, key=key
+        )
+        y_hat = ste_round(z3 - mu) + mu
+
+        x_tilde = self.g_s(y_hat)
+        x_tilde = self._decode_tail(x_tilde, syntax_rounded, training)
+
+        bpp_y = _bpp(y_lik, num_pixels)
+        bpp_z = (
+            _bpp(z_lik, num_pixels)
+            if (z_lik is not None and cfg.count_hyper_bpp)
+            else jnp.zeros(())
+        )
+        mse = jnp.mean((x_tilde - x) ** 2)
+        return CodecOutput(
+            x_tilde=x_tilde, bpp=bpp_y + bpp_z, mse=mse,
+            bpp_y=bpp_y, bpp_z=bpp_z, bpp_syntax=jnp.zeros(()),
+            extras={"y_hat": y_hat, "means": mu, "scales": sigma},
+        )
 
     # ---------------------------------------------------------- aux loss
 

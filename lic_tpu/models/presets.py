@@ -111,6 +111,17 @@ PRESETS: Dict[str, CodecConfig] = {
         syntax="wam",
         count_hyper_bpp=False,
     ),
+    # The Entroformer path the reference implies but never ships (missing
+    # model/Block.py; cit_he/cit_hd refs at Net_unet.py:862-863): masked-
+    # attention AR entropy coding over the latent — checkerboard two-pass,
+    # decodable, TPU-parallel (BASELINE config #4).
+    "entroformer_cb": CodecConfig(
+        family="charm",
+        transform="plain",
+        hyper="elic",
+        context="entroformer",
+        syntax="basic",
+    ),
 }
 
 

