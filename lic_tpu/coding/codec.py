@@ -70,6 +70,13 @@ class GaussianCoder:
         symbols = np.round(y - means).astype(np.int32)
         return self.codec.encode(symbols, self.scale_indexes(scales))
 
+    def encode_symbols(self, symbols: np.ndarray, scales: np.ndarray) -> bytes:
+        """Encode pre-computed integer residual symbols (e.g. rounded on
+        device so they bit-match the jitted forward)."""
+        return self.codec.encode(
+            symbols.astype(np.int32), self.scale_indexes(scales)
+        )
+
     def decode(
         self, data: bytes, means: np.ndarray, scales: np.ndarray
     ) -> np.ndarray:
@@ -93,12 +100,15 @@ class FactorizedCoder:
 
     def encode(self, z: np.ndarray) -> bytes:
         """z: (B, H, W, C) — symbols are round(z − median) per channel."""
-        c = z.shape[-1]
         symbols = np.round(z - self.medians).astype(np.int32)
-        indexes = np.broadcast_to(
-            np.arange(c, dtype=np.int32), z.shape
+        return self.encode_symbols(symbols)
+
+    def encode_symbols(self, symbols: np.ndarray) -> bytes:
+        c = symbols.shape[-1]
+        indexes = np.broadcast_to(np.arange(c, dtype=np.int32), symbols.shape)
+        return self.codec.encode(
+            symbols.astype(np.int32), np.ascontiguousarray(indexes)
         )
-        return self.codec.encode(symbols, np.ascontiguousarray(indexes))
 
     def decode(self, data: bytes, shape: Tuple[int, ...]) -> np.ndarray:
         c = shape[-1]

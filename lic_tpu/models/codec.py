@@ -480,6 +480,14 @@ class CodecModel(nn.Module):
         x_tilde = self.g_s(y_hat)
         return self._decode_tail(x_tilde, syntax_rounded, training=False)
 
+    def entro_predict(self, y_in, latent_scales, latent_means):
+        """One checkerboard context pass: (μ, σ) given the currently-decoded
+        latent ``y_in`` (zeros where unknown) and the hyper features."""
+        hyper = jnp.concatenate([latent_scales, latent_means], axis=-1)
+        return self.entro_context._run(
+            y_in, hyper, None, (y_in.shape[1], y_in.shape[2])
+        )
+
     # ------------------------------------------ entroformer context path
 
     def _entroformer_entropy(

@@ -74,9 +74,12 @@ class ChannelCoder:
         self._hyper_decode = ap(CodecModel.hyper_decode)
         self._syntax = ap(CodecModel.syntax_from_latent)
         self._synthesize = ap(CodecModel.synthesize)
+        self.is_entro = model.cfg.context == "entroformer"
+        if self.is_entro:
+            self._entro = ap(CodecModel.entro_predict)
         self._entropy_params = {}
         self._lrp = {}
-        for i in range(model.cfg.num_slices):
+        for i in range(0 if self.is_entro else model.cfg.num_slices):
             self._entropy_params[i] = partial(
                 jax.jit(
                     lambda p, m, s, sup, i=i: model.apply(
@@ -115,17 +118,26 @@ class ChannelCoder:
         assert b == 1, "one image per bitstream"
 
         z3 = self._analyze(x)
-        z = np.asarray(self._hyper_encode(z3))
-        z_blob = self.z_coder.encode(z)
-        z_hat = jnp.asarray(
-            np.round(z - self.z_coder.medians) + self.z_coder.medians
-        )
+        # symbols are rounded ON DEVICE so they match the jitted forward's
+        # ste_round bit-for-bit (host numpy fp32 can round differently at
+        # .5 boundaries); the decoder reconstructs z_hat/y_hat from the
+        # symbols on host exactly like the encoder below.
+        z_dev = self._hyper_encode(z3)
+        z_sym = np.asarray(
+            jnp.round(z_dev - jnp.asarray(self.z_coder.medians))
+        ).astype(np.int32)
+        z_blob = self.z_coder.encode_symbols(z_sym)
+        z_hat = jnp.asarray(z_sym.astype(np.float32) + self.z_coder.medians)
         scales, means = self._hyper_decode(z_hat)
 
         if cfg.syntax != "none":
             syntax = np.asarray(self._syntax(z3))[0, 0, 0].astype(np.int16)
         else:
             syntax = np.zeros((0,), np.int16)
+
+        if self.is_entro:
+            blobs = self._compress_entro(z3, scales, means)
+            return self._pack(h, w, syntax, z_blob, blobs)
 
         y_slices = np.split(np.asarray(z3), cfg.num_slices, axis=-1)
         supports: List[jax.Array] = []
@@ -136,14 +148,20 @@ class ChannelCoder:
                 means, scales, tuple(sup)
             )
             mu_np = np.asarray(mu)
+            symbols = np.asarray(
+                jnp.round(jnp.asarray(y_slices[i]) - mu)
+            ).astype(np.int32)
             blobs.append(
-                self.y_coder.encode(y_slices[i], mu_np, np.asarray(sigma))
+                self.y_coder.encode_symbols(symbols, np.asarray(sigma))
             )
-            symbols = np.round(y_slices[i] - mu_np)
-            y_hat = jnp.asarray(symbols + mu_np, jnp.float32)
+            y_hat = jnp.asarray(symbols.astype(np.float32) + mu_np)
             y_hat = self._lrp[i](mean_support, y_hat)
             supports.append(y_hat)
 
+        return self._pack(h, w, syntax, z_blob, blobs)
+
+    @staticmethod
+    def _pack(h, w, syntax, z_blob, blobs) -> bytes:
         out = bytearray()
         out += MAGIC
         out += struct.pack("<HH", h, w)
@@ -155,6 +173,70 @@ class ChannelCoder:
             out += struct.pack("<I", len(blob))
             out += blob
         return bytes(out)
+
+    # --------------------------------------- entroformer (2-pass) coding
+
+    def _anchor_mask(self, yh, yw, c):
+        from ..layers.entroformer import checkerboard_masks
+
+        anchor, _ = checkerboard_masks(yh, yw)
+        return np.broadcast_to(anchor[None, :, :, None], (1, yh, yw, c))
+
+    def _compress_entro(self, z3, scales, means) -> List[bytes]:
+        _, yh, yw, c = z3.shape
+        mask = self._anchor_mask(yh, yw, c)
+
+        mu1, s1 = self._entro(jnp.zeros_like(z3), scales, means)
+        sym1 = np.asarray(jnp.round(z3 - mu1)).astype(np.int32)
+        blob1 = self.y_coder.encode_symbols(
+            sym1[mask], np.asarray(s1)[mask]
+        )
+        y_hat1 = jnp.asarray(
+            (sym1.astype(np.float32) + np.asarray(mu1)) * mask
+        )
+
+        mu2, s2 = self._entro(y_hat1, scales, means)
+        sym2 = np.asarray(jnp.round(z3 - mu2)).astype(np.int32)
+        blob2 = self.y_coder.encode_symbols(
+            sym2[~mask], np.asarray(s2)[~mask]
+        )
+        return [blob1, blob2]
+
+    def _decompress_entro(self, data, off, z_hat, syntax, h, w):
+        scales, means = self._hyper_decode(z_hat)
+        c = self.model.cfg.N
+        yh, yw = h // 16, w // 16
+        mask = self._anchor_mask(yh, yw, c)
+
+        (b1,) = struct.unpack_from("<I", data, off)
+        off += 4
+        blob1 = data[off : off + b1]
+        off += b1
+        (b2,) = struct.unpack_from("<I", data, off)
+        off += 4
+        blob2 = data[off : off + b2]
+
+        mu1, s1 = self._entro(
+            jnp.zeros((1, yh, yw, c), jnp.float32), scales, means
+        )
+        sym1 = self.y_coder.codec.decode(
+            blob1, self.y_coder.scale_indexes(np.asarray(s1)[mask])
+        )
+        y1 = np.zeros((1, yh, yw, c), np.float32)
+        y1[mask] = sym1.astype(np.float32) + np.asarray(mu1)[mask]
+        y_hat1 = jnp.asarray(y1)
+
+        mu2, s2 = self._entro(y_hat1, scales, means)
+        sym2 = self.y_coder.codec.decode(
+            blob2, self.y_coder.scale_indexes(np.asarray(s2)[~mask])
+        )
+        y_full = np.asarray(y1)
+        y_full[~mask] = sym2.astype(np.float32) + np.asarray(mu2)[~mask]
+
+        syn = (
+            jnp.asarray(syntax).reshape(1, 1, 1, -1) if syntax.size else None
+        )
+        return self._synthesize(jnp.asarray(y_full), syn)
 
     # ------------------------------------------------------------- decode
 
@@ -177,6 +259,8 @@ class ChannelCoder:
         zh, zw = h // 64, w // 64  # z is at /64 of the input
         z_shape = (1, zh, zw, self.z_coder.medians.shape[0])
         z_hat = jnp.asarray(self.z_coder.decode(z_blob, z_shape))
+        if self.is_entro:
+            return self._decompress_entro(data, off, z_hat, syntax, h, w)
         scales, means = self._hyper_decode(z_hat)
 
         supports: List[jax.Array] = []

