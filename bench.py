@@ -61,15 +61,20 @@ def main():
         return out.x_tilde, out.bpp
 
     iters = 10
+    repeats = 3  # shared host/tunnel adds heavy run-to-run variance
     results = {}
-    dt = _measure(forward, params, x, iters)
-    results["fp32"] = (h * w * batch * iters) / dt / 1e6
+    results["fp32"] = max(
+        (h * w * batch * iters) / _measure(forward, params, x, iters) / 1e6
+        for _ in range(repeats)
+    )
 
     # bf16 activations/weights (fp32 master params remain the training copy)
     pb = bf16_params(params)
     xb = x.astype(jnp.bfloat16)
-    dt = _measure(forward, pb, xb, iters)
-    results["bf16"] = (h * w * batch * iters) / dt / 1e6
+    results["bf16"] = max(
+        (h * w * batch * iters) / _measure(forward, pb, xb, iters) / 1e6
+        for _ in range(repeats)
+    )
 
     best = max(results.values())
     print(
