@@ -234,3 +234,21 @@ class TestUtils:
         with span("test"):
             pass
         assert span_stats()["test"]["count"] == 1
+
+
+class TestHaar:
+    def test_dwt_idwt_exact_roundtrip(self):
+        from lic_tpu.layers.haar import haar_dwt2, haar_idwt2, haar_pyramid
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((2, 16, 12, 3)).astype(np.float32))
+        y = haar_dwt2(x)
+        assert y.shape == (2, 8, 6, 12)
+        back = haar_idwt2(y)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+        # orthonormal: energy preserved
+        np.testing.assert_allclose(
+            float(jnp.sum(x * x)), float(jnp.sum(y * y)), rtol=1e-5
+        )
+        pyr = haar_pyramid(x, levels=2)
+        assert pyr[0].shape == (2, 8, 6, 12) and pyr[1].shape == (2, 4, 3, 12)
