@@ -21,7 +21,12 @@ def multistep(
     steps_per_epoch: int,
     gamma: float = 0.5,
 ) -> optax.Schedule:
-    boundaries = {int(m) * steps_per_epoch: gamma for m in milestones_epochs}
+    # cap at int32 (optimizer step counters are int32; larger boundaries
+    # would overflow jit argument parsing)
+    cap = 2 ** 31 - 1
+    boundaries = {
+        min(int(m) * steps_per_epoch, cap): gamma for m in milestones_epochs
+    }
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
