@@ -36,6 +36,9 @@ def main():
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
+    from lic_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from lic_tpu.models import build_model
     from lic_tpu.utils.amp import bf16_params
 

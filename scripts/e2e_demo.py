@@ -15,6 +15,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lic_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300

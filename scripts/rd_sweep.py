@@ -14,6 +14,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lic_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 LAMBDAS = (0.0025, 0.0067, 0.0250, 0.0500)  # reference operating points
 
 

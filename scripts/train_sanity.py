@@ -13,6 +13,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lic_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def structured_batch(rng, b=8, size=256):
     """Piecewise-smooth synthetic images (gradients + rectangles + noise)."""
