@@ -56,8 +56,10 @@ def ssim(
     mu_a = _blur(a, kernel)
     mu_b = _blur(b, kernel)
     mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
-    sigma_aa = _blur(a * a, kernel) - mu_aa
-    sigma_bb = _blur(b * b, kernel) - mu_bb
+    # variances are non-negative in exact math; fp32 cancellation on flat
+    # regions can drive them slightly negative and push SSIM above 1
+    sigma_aa = jnp.maximum(_blur(a * a, kernel) - mu_aa, 0.0)
+    sigma_bb = jnp.maximum(_blur(b * b, kernel) - mu_bb, 0.0)
     sigma_ab = _blur(a * b, kernel) - mu_ab
 
     cs = (2 * sigma_ab + c2) / (sigma_aa + sigma_bb + c2)
