@@ -31,7 +31,6 @@ def main(argv=None) -> None:
     import numpy as np
 
     from ..data.datasets import load_image_uint8
-    from ..data.pad import pad_to_multiple
     from ..models import build_model
     from ..models.compress import ChannelCoder
     from ..utils.checkpoint import load_params
@@ -43,12 +42,13 @@ def main(argv=None) -> None:
         sample, training=True,
     )
     params = load_params(args.weight_path, variables["params"])
-    coder = ChannelCoder(model, params)
+    coder = ChannelCoder(model, params, name=args.preset)
 
     if args.command == "compress":
         img = load_image_uint8(args.input).astype(np.float32) / 127.5 - 1.0
-        x, (h, w) = pad_to_multiple(jnp.asarray(img[None]), 64)
-        blob = coder.compress(x)
+        x = jnp.asarray(img[None])
+        h, w = img.shape[:2]
+        blob = coder.compress(x)  # pads to /64 internally
         with open(args.output, "wb") as fd:
             fd.write(blob)
         bpp = len(blob) * 8 / (h * w)

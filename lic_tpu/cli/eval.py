@@ -61,15 +61,13 @@ def main(argv=None) -> None:
         import os
 
         from ..data.datasets import list_images, load_image_uint8
-        from ..data.pad import pad_to_multiple
         from ..models.compress import ChannelCoder
 
         os.makedirs(args.write_bitstreams, exist_ok=True)
-        coder = ChannelCoder(model, params)
+        coder = ChannelCoder(model, params, name=args.preset)
         for f in list_images(args.data_path):
             img = load_image_uint8(f).astype(np.float32) / 127.5 - 1.0
-            x, _ = pad_to_multiple(jnp.asarray(img[None]), 64)
-            blob = coder.compress(x)
+            blob = coder.compress(jnp.asarray(img[None]))
             out = os.path.join(
                 args.write_bitstreams,
                 os.path.splitext(os.path.basename(f))[0] + ".ltc",

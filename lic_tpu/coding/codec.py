@@ -34,9 +34,14 @@ def get_scale_table(
     return np.exp(np.linspace(math.log(smin), math.log(smax), levels))
 
 
-def _gaussian_pmf(scale: float, radius: int) -> np.ndarray:
-    from scipy.special import erf  # available in image; fallback below
+try:
+    from scipy.special import erf as _erf
+except ImportError:  # scipy-less host: vectorize math.erf (exact, slower)
+    _erf = np.vectorize(math.erf, otypes=[np.float64])
 
+
+def _gaussian_pmf(scale: float, radius: int) -> np.ndarray:
+    erf = _erf
     xs = np.arange(-radius, radius + 1, dtype=np.float64)
     upper = 0.5 * (1 + erf((xs + 0.5) / (scale * math.sqrt(2))))
     lower = 0.5 * (1 + erf((xs - 0.5) / (scale * math.sqrt(2))))

@@ -68,6 +68,7 @@ struct RansDecoder {
   uint64_t state = 0;
   const uint8_t* ptr;
   const uint8_t* end;
+  bool overrun = false;  // set when a read past end-of-buffer was attempted
 
   void init(const uint8_t* in, size_t n) {
     ptr = in;
@@ -78,7 +79,10 @@ struct RansDecoder {
   }
 
   inline uint32_t read_word() {
-    if (ptr + 4 > end) return 0;
+    if (ptr + 4 > end) {
+      overrun = true;
+      return 0;
+    }
     uint32_t w;
     std::memcpy(&w, ptr, 4);
     ptr += 4;
@@ -204,6 +208,10 @@ long rans_decode_indexed(
       out[i] = (int32_t)(base + delta + off);
     }
   }
+  // Integrity: decoding the exact encoder output must return the state to
+  // the initial interval bound with every word consumed; truncated or
+  // corrupt streams fail one of these instead of silently yielding zeros.
+  if (dec.overrun || dec.state != kRansL || dec.ptr != dec.end) return -1;
   return n;
 }
 

@@ -125,8 +125,12 @@ class RansCodec:
         buf = np.frombuffer(data, np.uint8)
         buf = np.ascontiguousarray(buf)
         out = np.empty(indexes.size, np.int32)
-        _lib().rans_decode_indexed(
+        rc = _lib().rans_decode_indexed(
             buf, buf.size, indexes, indexes.size, self.cdfs, self.row_len,
             self.offsets, out,
         )
+        if rc < 0:
+            raise ValueError(
+                "corrupt or truncated rANS stream (final-state check failed)"
+            )
         return out

@@ -39,10 +39,12 @@ class CodecConfig:
     #   'latent_unet'  — uncoded latent U-Net mean/scale    (Net_unet.py:869,1014)
     hyper: str = "classic"
 
-    # U-Net hyper style: 'win' = Unet_ha_new/Unet_hs_new (WinBasedAttention),
-    # 'spatial' = Unet/Unet_new (SpatialTransformer); and for latent_unet,
-    # 'conv' selects Unet (ResidualBottleneck branch) vs 'conv1x1' (Unet_new).
-    unet_variant: str = "win"
+    # U-Net style.  For hyper='unet' the split ha/hs pair always uses
+    # WinBasedAttention (Unet_ha_new/Unet_hs_new).  For hyper='latent_unet'
+    # this selects the latent U-Net body: 'res' = ResidualBottleneck stages
+    # (the reference's Unet) vs 'conv1x1' = 1x1-conv stages (Unet_new);
+    # any value other than 'conv1x1' resolves to 'res'.
+    unet_variant: str = "res"
     # one shared hyper-synthesis evaluated once with two heads (True, the TPU
     # design — replaces the double forward at net_unet_ha_hs.py:892-895) or
     # two separate decoders (net_unet_ha_hs_1.py:810-811).

@@ -65,9 +65,19 @@ class ImageFolderDataset:
         img = load_image_uint8(self.files[idx])
         c = self.crop_size
         h, w = img.shape[:2]
-        if h < c or w < c:  # upscale-pad small images by reflection
+        while h < c or w < c:
+            # tile-by-symmetric-pad images smaller than the crop; 'symmetric'
+            # allows pad widths up to the full dim (unlike 'reflect', which
+            # raises for images smaller than ~half the crop), and the loop
+            # covers arbitrarily small inputs.
             img = np.pad(
-                img, ((0, max(0, c - h)), (0, max(0, c - w)), (0, 0)), mode="reflect"
+                img,
+                (
+                    (0, min(h, max(0, c - h))),
+                    (0, min(w, max(0, c - w))),
+                    (0, 0),
+                ),
+                mode="symmetric",
             )
             h, w = img.shape[:2]
         top = int(rng.integers(0, h - c + 1))
@@ -99,10 +109,14 @@ def train_iterator(
             batch = np.stack(
                 [normalize_pm1(dataset.sample_crop(int(i), rng)) for i in idxs]
             )
-            try:
-                q.put(batch, timeout=1.0)
-            except queue.Full:
-                continue
+            # retry the SAME batch on a full queue — never discard decoded
+            # host work (decode dominates on this 1-vCPU host)
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
 
     threads = [
         threading.Thread(target=worker, args=(t,), daemon=True)

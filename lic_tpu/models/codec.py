@@ -507,11 +507,16 @@ class CodecModel(nn.Module):
             checkerboard_masks(yh, yw)[0], z3.dtype
         )[None, :, :, None]
 
-        # pass 1: anchors from the hyper only
-        mu1, s1 = self.entro_context(jnp.zeros_like(z3), hyper)
+        # pass 1: anchors from the hyper only.  _run is invoked directly
+        # (as entro_predict does for the bitstream path) — going through
+        # EntroformerContext.__call__ would run the transformer twice per
+        # call, 4 passes per step where these 2 suffice.
+        mu1, s1 = self.entro_context._run(
+            jnp.zeros_like(z3), hyper, None, (yh, yw)
+        )
         y_hat_anchor = (ste_round(z3 - mu1) + mu1) * anchor
         # pass 2: non-anchors see decoded anchors
-        mu2, s2 = self.entro_context(y_hat_anchor, hyper)
+        mu2, s2 = self.entro_context._run(y_hat_anchor, hyper, None, (yh, yw))
         mu = anchor * mu1 + (1 - anchor) * mu2
         sigma = anchor * s1 + (1 - anchor) * s2
 

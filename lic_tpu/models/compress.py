@@ -20,13 +20,17 @@ activations (``net_unet_ha_hs.py:880,892``; ``Net_unet.py:1014``) — and are
 rejected with an explanatory error.
 
 Bitstream layout (little-endian):
-  magic 'LTC1' | u8 preset-id-len + name | u16 H | u16 W | i16 syntax[M]
+  magic 'LTC2' | u8 name-len | name (utf-8) | u32 model digest (crc32 of
+  the factorized-prior CDF tables — catches wrong weights/preset at decode)
+  | u16 H | u16 W (ORIGINAL size; padding to /64 happens inside compress
+  and decompress crops back) | u16 syntax-len | i16 syntax[M]
   | u32 z_len | z blob | per slice: u32 len | blob
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -35,9 +39,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..coding.codec import FactorizedCoder, GaussianCoder
+from ..data.pad import pad_to_multiple, padded_size
 from .codec import CodecModel
 
-MAGIC = b"LTC1"
+MAGIC = b"LTC2"
 Z_RANGE = 128  # factorized-prior symbol support: [-128, 127] rel. medians
 
 _DECODABLE = ("classic_dual", "elic")
@@ -46,7 +51,7 @@ _DECODABLE = ("classic_dual", "elic")
 class ChannelCoder:
     """Owns the jitted sub-passes + rANS coders for one (model, params)."""
 
-    def __init__(self, model: CodecModel, params: Any):
+    def __init__(self, model: CodecModel, params: Any, name: str = ""):
         if model.cfg.hyper not in _DECODABLE:
             raise ValueError(
                 f"hyper path '{model.cfg.hyper}' is not decodable: the "
@@ -108,14 +113,21 @@ class ChannelCoder:
             np.asarray(pmf), np.asarray(medians), -Z_RANGE
         )
         self.y_coder = GaussianCoder()
+        cfg = model.cfg
+        self.name = name or f"{cfg.family}.{cfg.transform}.{cfg.hyper}.{cfg.context}"
+        # weights digest: crc32 of the quantized factorized-prior CDF tables
+        # (a pure function of the trained params, already on host)
+        self.digest = zlib.crc32(self.z_coder.codec.cdfs.tobytes()) & 0xFFFFFFFF
 
     # ------------------------------------------------------------- encode
 
     def compress(self, x: jax.Array) -> bytes:
-        """x: (1, H, W, 3) in [−1, 1], H/W multiples of 64."""
+        """x: (1, H, W, 3) in [−1, 1] — any size; padded to /64 internally
+        and the original size is carried in the header."""
         cfg = self.model.cfg
         b, h, w, _ = x.shape
         assert b == 1, "one image per bitstream"
+        x, _ = pad_to_multiple(x, 64)
 
         z3 = self._analyze(x)
         # symbols are rounded ON DEVICE so they match the jitted forward's
@@ -160,10 +172,13 @@ class ChannelCoder:
 
         return self._pack(h, w, syntax, z_blob, blobs)
 
-    @staticmethod
-    def _pack(h, w, syntax, z_blob, blobs) -> bytes:
+    def _pack(self, h, w, syntax, z_blob, blobs) -> bytes:
         out = bytearray()
         out += MAGIC
+        name = self.name.encode("utf-8")[:255]
+        out += struct.pack("<B", len(name))
+        out += name
+        out += struct.pack("<I", self.digest)
         out += struct.pack("<HH", h, w)
         out += struct.pack("<H", syntax.size)
         out += syntax.tobytes()
@@ -242,11 +257,28 @@ class ChannelCoder:
 
     def decompress(self, data: bytes) -> jax.Array:
         cfg = self.model.cfg
-        off = 0
-        assert data[:4] == MAGIC, "bad magic"
+        if data[:4] != MAGIC:
+            raise ValueError("bad magic — not an LTC2 bitstream")
         off = 4
-        h, w = struct.unpack_from("<HH", data, off)
+        (nlen,) = struct.unpack_from("<B", data, off)
+        off += 1
+        name = data[off : off + nlen].decode("utf-8")
+        off += nlen
+        (digest,) = struct.unpack_from("<I", data, off)
         off += 4
+        if name != self.name:
+            raise ValueError(
+                f"bitstream was produced by model '{name}', "
+                f"this coder is '{self.name}'"
+            )
+        if digest != self.digest:
+            raise ValueError(
+                "bitstream weights digest mismatch — decoding with "
+                "different parameters than it was encoded with"
+            )
+        orig_h, orig_w = struct.unpack_from("<HH", data, off)
+        off += 4
+        h, w = padded_size(orig_h, orig_w, 64)
         (m_len,) = struct.unpack_from("<H", data, off)
         off += 2
         syntax = np.frombuffer(data, np.int16, m_len, off).astype(np.float32)
@@ -260,7 +292,8 @@ class ChannelCoder:
         z_shape = (1, zh, zw, self.z_coder.medians.shape[0])
         z_hat = jnp.asarray(self.z_coder.decode(z_blob, z_shape))
         if self.is_entro:
-            return self._decompress_entro(data, off, z_hat, syntax, h, w)
+            rec = self._decompress_entro(data, off, z_hat, syntax, h, w)
+            return rec[:, :orig_h, :orig_w, :]
         scales, means = self._hyper_decode(z_hat)
 
         supports: List[jax.Array] = []
@@ -281,4 +314,4 @@ class ChannelCoder:
         syn = (
             jnp.asarray(syntax).reshape(1, 1, 1, -1) if m_len else None
         )
-        return self._synthesize(y_hat_full, syn)
+        return self._synthesize(y_hat_full, syn)[:, :orig_h, :orig_w, :]

@@ -7,7 +7,12 @@
   (``model/net.py:416-426``).  Kept as a separate name for API parity.
 * ``noise_quant`` — train: ``x + U(-1/2, 1/2)``; eval: ``floor(x + 0.5)``;
   clamped to ``[-table_range, table_range - 1]``
-  (``model/Net_unet.py:295-308``).
+  (``model/Net_unet.py:295-308``).  DORMANT parity op: every reference
+  ChARM net *constructs* ``NoiseQuant(table_range=128)`` (e.g.
+  ``model/source_net.py:695``) but no forward ever calls it — quantization
+  goes through bypass_round / the entropy models' own noise instead.  The
+  clamp is therefore intentionally absent from the model paths here too;
+  the op is kept (and tested) for component parity only.
 * ``quantize_ste_offset`` — ``ste_round(x - offset) + offset``, the
   medians-offset quantization used with the factorized entropy model
   (``model/net_unet_ha_hs.py:885-889``).

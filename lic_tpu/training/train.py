@@ -13,8 +13,9 @@ TPU design: one jitted ``train_step`` with the batch sharded over the
 all-reduce (``psum`` over ICI); no DataParallel-style replicate/scatter/
 gather per step.  The factorized-prior aux (quantile) loss is added to the
 objective — its gradient touches only the ``quantiles`` parameter (the
-density MLP is stop-gradient'd), so this is equivalent to CompressAI's
-separate aux optimizer without a second update.
+density MLP is stop-gradient'd), and those leaves are routed to a dedicated
+unclipped Adam at ``TrainConfig.aux_lr`` (see ``aux_labels``), reproducing
+CompressAI's separate aux optimizer in a single update.
 """
 
 from __future__ import annotations
@@ -75,6 +76,26 @@ def freeze_partition(
     )
 
 
+def aux_labels(params):
+    """'aux' for EntropyBottleneck ``quantiles`` leaves, 'main' otherwise.
+
+    The quantile parameters are trained only by the aux (tail-mass) loss;
+    CompressAI — whose semantics the reference inherits via its
+    ``EntropyBottleneck`` import (``model/Net_unet.py:3``) — drives them
+    with a *separate* Adam at lr 1e-3, unclipped and unscheduled.
+    """
+
+    def is_aux(path):
+        return any(
+            str(getattr(k, "key", getattr(k, "name", ""))) == "quantiles"
+            for k in path
+        )
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: "aux" if is_aux(path) else "main", params
+    )
+
+
 def make_optimizer(
     train_cfg: TrainConfig,
     steps_per_epoch: int,
@@ -92,9 +113,15 @@ def make_optimizer(
             train_cfg.lr_gamma,
         )
         inner = optax.adam(sched)
-    return optax.chain(
+    main = optax.chain(
         optax.clip_by_global_norm(train_cfg.grad_clip_norm),
         inner,
+    )
+    # Quantiles ride a dedicated Adam at aux_lr (CompressAI aux-optimizer
+    # semantics); their gradient comes solely from ``entropy_aux_loss`` so
+    # this is exactly the reference's two-optimizer update in one pass.
+    return optax.multi_transform(
+        {"main": main, "aux": optax.adam(train_cfg.aux_lr)}, aux_labels
     )
 
 

@@ -49,6 +49,25 @@ class TestRansCore:
         assert cdf[0] == 0 and cdf[-1] == 1 << 16
         assert (np.diff(cdf.astype(np.int64)) >= 1).all()  # every slot codable
 
+    def test_truncated_stream_raises(self):
+        xs = np.arange(-20, 21)
+        pmf = np.exp(-0.5 * (xs / 3.0) ** 2)
+        pmf /= pmf.sum()
+        codec = RansCodec(
+            pmf_to_quantized_cdf(pmf * 0.9999)[None], np.asarray([-20])
+        )
+        syms = np.clip(
+            np.random.default_rng(4).normal(0, 3, 2000).round(), -20, 20
+        ).astype(np.int32)
+        idx = np.zeros(2000, np.int32)
+        blob = codec.encode(syms, idx)
+        with pytest.raises(ValueError, match="rANS"):
+            codec.decode(blob[: len(blob) // 2], idx)
+        with pytest.raises(ValueError, match="rANS"):
+            corrupt = bytearray(blob)
+            corrupt[len(blob) // 2] ^= 0xFF
+            codec.decode(bytes(corrupt), idx)
+
 
 class TestGaussianCoder:
     def test_roundtrip(self):
@@ -110,6 +129,33 @@ class TestModelCompress:
         # untrained model → large rates; real bitstream should be within
         # ~15% + escape overhead of the likelihood estimate
         assert real_bpp < est_bpp * 1.2 + 0.3, (real_bpp, est_bpp)
+
+    def test_arbitrary_size_roundtrip(self, setup):
+        """Non-/64 sizes: compress pads internally, decompress crops back."""
+        model, params, _ = setup
+        coder = ChannelCoder(model, params)
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 100, 90, 3)).astype(np.float32))
+        blob = coder.compress(x)
+        rec = coder.decompress(blob)
+        assert rec.shape == (1, 100, 90, 3)
+        from lic_tpu.data.pad import pad_to_multiple
+
+        xp, _ = pad_to_multiple(x, 64)
+        out = model.apply({"params": params}, xp, training=False)
+        np.testing.assert_allclose(
+            np.asarray(rec), np.asarray(out.x_tilde)[:, :100, :90], atol=1e-4
+        )
+
+    def test_model_identity_checked(self, setup):
+        model, params, x = setup
+        enc = ChannelCoder(model, params, name="net_a")
+        blob = enc.compress(x)
+        dec = ChannelCoder(model, params, name="net_b")
+        with pytest.raises(ValueError, match="net_a"):
+            dec.decompress(blob)
+        with pytest.raises(ValueError, match="magic"):
+            enc.decompress(b"XXXX" + blob[4:])
 
     def test_undecodable_hyper_rejected(self):
         cfg = CodecConfig(

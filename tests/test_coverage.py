@@ -164,3 +164,20 @@ class TestMoreLayers:
         g_s = SynthesisTransform(N=64, out_channels=16, variant="plain_wam")
         z, _ = g_s.init_with_output(jax.random.PRNGKey(0), y)
         assert z.shape == (1, 128, 128, 16)
+
+
+class TestDataPipeline:
+    def test_tiny_image_crop(self, tmp_path):
+        """Images far smaller than the crop are tiled by symmetric padding
+        (reflect-pad raises for pads >= dim)."""
+        from PIL import Image
+
+        from lic_tpu.data.datasets import ImageFolderDataset
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 255, (20, 24, 3), dtype=np.uint8)
+        Image.fromarray(img).save(tmp_path / "tiny.png")
+        ds = ImageFolderDataset(str(tmp_path), crop_size=256)
+        crop = ds.sample_crop(0, rng)
+        assert crop.shape == (256, 256, 3)
+        assert crop.dtype == np.uint8

@@ -115,6 +115,60 @@ class TestSchedule:
         assert float(sched(100)) == pytest.approx(2.5e-5)
 
 
+class TestOptimizer:
+    def test_quantiles_use_aux_lr(self):
+        """EntropyBottleneck quantiles ride a separate Adam at aux_lr
+        (CompressAI aux-optimizer semantics); everything else uses the
+        scheduled, clipped main Adam."""
+        tc = TrainConfig(lr=1e-4, aux_lr=1e-3)
+        opt = make_optimizer(tc, steps_per_epoch=10)
+        params = {
+            "entropy_bottleneck": {"quantiles": jnp.ones((4, 1, 3))},
+            "g_a": {"kernel": jnp.ones((3, 3))},
+        }
+        grads = jax.tree.map(jnp.ones_like, params)
+        state = opt.init(params)
+        updates, _ = opt.update(grads, state, params)
+        # Adam's first step is ≈ lr for any constant gradient
+        q_step = np.abs(
+            np.asarray(updates["entropy_bottleneck"]["quantiles"])
+        ).mean()
+        g_step = np.abs(np.asarray(updates["g_a"]["kernel"])).mean()
+        assert q_step == pytest.approx(1e-3, rel=1e-2)
+        assert g_step == pytest.approx(1e-4, rel=1e-2)
+
+    def test_quantiles_converge_to_tails(self):
+        """Driving only the aux loss moves quantiles toward the tail-mass
+        targets (logits → ±log(2/tail−1), middle → median)."""
+        from lic_tpu.entropy.factorized import EntropyBottleneck
+
+        eb = EntropyBottleneck(channels=2)
+        v = eb.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 4, 4, 2)), training=False,
+        )
+        tc = TrainConfig(lr=1e-4, aux_lr=1e-2)
+        opt = make_optimizer(tc, steps_per_epoch=10)
+        params = v["params"]
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state):
+            aux = lambda p: eb.apply({"params": p}, method=EntropyBottleneck.aux_loss)
+            g = jax.grad(aux)(params)
+            updates, state = opt.update(g, state, params)
+            return optax.apply_updates(params, updates), state, aux(params)
+
+        first = None
+        for i in range(200):
+            params, state, loss = step(params, state)
+            if first is None:
+                first = float(loss)
+        # quantiles crawl at ~aux_lr/step toward far tail targets; assert a
+        # steady decrease (full convergence needs thousands of steps)
+        assert float(loss) < first - 0.5, (first, float(loss))
+
+
 class TestTrainStep:
     def test_loss_decreases(self):
         model, tc, opt, x, state = _tiny_setup()
