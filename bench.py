@@ -2,13 +2,21 @@
 
 Runs the scale-hyperprior ChARM codec (source_net preset: plain GDN
 transforms, classic dual hyper, factorized z prior — BASELINE.json config
-#2 territory) in eval mode on one Kodak-sized image and reports sustained
+#2 territory) in eval mode on Kodak-sized images and reports sustained
 throughput.  Baseline target: 100 MP/s/chip (BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Reporting: the headline value is the MEDIAN over repeats of the best
+config (the shared host/tunnel adds heavy run-to-run variance; the median
+is the honest sustained number — the max and per-config numbers ride in
+"extra").  A second metric — the REAL codec path (device passes + host
+rANS entropy coding, batched ping-pong with host/device overlap) — is
+reported as extra.codec_mps.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
+import statistics
 import sys
 import time
 
@@ -44,6 +52,7 @@ def main():
 
     h, w = 512, 768  # Kodak-sized
     batch = 8        # best measured throughput point (batch 16 thrashes HBM)
+    mp_batch = h * w * batch / 1e6
     model = build_model("source_net")
     x = jnp.asarray(
         np.random.default_rng(0)
@@ -64,29 +73,58 @@ def main():
         return out.x_tilde, out.bpp
 
     iters = 10
-    repeats = 3  # shared host/tunnel adds heavy run-to-run variance
-    results = {}
-    results["fp32"] = max(
-        (h * w * batch * iters) / _measure(forward, params, x, iters) / 1e6
-        for _ in range(repeats)
-    )
+    repeats = 5
+    extra = {}
 
-    # bf16 activations/weights (fp32 master params remain the training copy)
+    def bench_config(p, xx):
+        vals = [
+            mp_batch * iters / _measure(forward, p, xx, iters)
+            for _ in range(repeats)
+        ]
+        return statistics.median(vals), max(vals)
+
+    extra["fp32_median"], extra["fp32_max"] = bench_config(params, x)
+
     pb = bf16_params(params)
     xb = x.astype(jnp.bfloat16)
-    results["bf16"] = max(
-        (h * w * batch * iters) / _measure(forward, pb, xb, iters) / 1e6
-        for _ in range(repeats)
-    )
+    extra["bf16_median"], extra["bf16_max"] = bench_config(pb, xb)
 
-    best = max(results.values())
+    best_median = max(extra["fp32_median"], extra["bf16_median"])
+
+    # ---- real codec path: device passes + host rANS, batched/overlapped
+    try:
+        from lic_tpu.models.compress import ChannelCoder
+
+        coder = ChannelCoder(model, params, name="source_net")
+        blobs = coder.compress_batch(x)          # warmup/compile
+        rec = coder.decompress_batch(blobs)
+        _ = float(jnp.ravel(rec)[0])
+        vals = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            blobs = coder.compress_batch(x)
+            rec = coder.decompress_batch(blobs)
+            _ = float(jnp.ravel(rec)[0])
+            vals.append(mp_batch / (time.perf_counter() - t0))
+        extra["codec_mps"] = round(statistics.median(vals), 3)
+        extra["codec_bpp"] = round(
+            sum(len(b) for b in blobs) * 8 / (h * w * batch), 4
+        )
+    except Exception as e:  # codec path must never sink the headline
+        extra["codec_error"] = f"{type(e).__name__}: {e}"
+
+    extra = {
+        k: (round(v, 3) if isinstance(v, float) else v)
+        for k, v in extra.items()
+    }
     print(
         json.dumps(
             {
                 "metric": "encode_decode_throughput",
-                "value": round(best, 3),
+                "value": round(best_median, 3),
                 "unit": "megapixels/sec/chip",
-                "vs_baseline": round(best / BASELINE_MPS, 4),
+                "vs_baseline": round(best_median / BASELINE_MPS, 4),
+                "extra": extra,
             }
         )
     )

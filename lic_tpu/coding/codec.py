@@ -40,9 +40,9 @@ except ImportError:  # scipy-less host: vectorize math.erf (exact, slower)
     _erf = np.vectorize(math.erf, otypes=[np.float64])
 
 
-def _gaussian_pmf(scale: float, radius: int) -> np.ndarray:
+def _gaussian_pmf(scale: float, radius: int, mean: float = 0.0) -> np.ndarray:
     erf = _erf
-    xs = np.arange(-radius, radius + 1, dtype=np.float64)
+    xs = np.arange(-radius, radius + 1, dtype=np.float64) - mean
     upper = 0.5 * (1 + erf((xs + 0.5) / (scale * math.sqrt(2))))
     lower = 0.5 * (1 + erf((xs - 0.5) / (scale * math.sqrt(2))))
     return np.maximum(upper - lower, 0.0)
@@ -87,6 +87,68 @@ class GaussianCoder:
     ) -> np.ndarray:
         symbols = self.codec.decode(data, self.scale_indexes(scales))
         return symbols.reshape(means.shape).astype(np.float32) + means
+
+
+class GaussianMuCoder:
+    """rANS coder for *integer-grid* symbols under N(μ, σ) with non-integer μ.
+
+    The neural-syntax family reconstructs with plain ``round(y)`` (integers),
+    not CompressAI's ``round(y − μ) + μ``, so the coded alphabet is the
+    integer grid and the model mean sits at a fractional offset
+    δ = μ − round(μ) ∈ [−0.5, 0.5).  CDF rows are binned by
+    (scale index × δ bin); coding against the nearest δ-bin center costs
+    ≲ (1/(2·n_delta)/σ)²/2 nats/symbol — negligible at n_delta=16.
+
+    Symbols: ``s = y_int − round(μ)``; reconstruction ``y_int = s + round(μ)``.
+    """
+
+    def __init__(
+        self,
+        scale_table: Optional[np.ndarray] = None,
+        radius: int = 64,
+        n_delta: int = 16,
+    ):
+        self.scale_table = (
+            np.asarray(scale_table) if scale_table is not None else get_scale_table()
+        )
+        self.radius = radius
+        self.n_delta = n_delta
+        centers = (np.arange(n_delta) + 0.5) / n_delta - 0.5
+        rows = []
+        for s in self.scale_table:
+            for d in centers:
+                pmf = _gaussian_pmf(float(s), radius, mean=float(d))
+                rows.append(
+                    pmf_to_quantized_cdf(pmf / max(pmf.sum(), 1e-12) * 0.9999)
+                )
+        self.codec = RansCodec(
+            np.stack(rows), np.full(len(rows), -radius, np.int32)
+        )
+
+    def indexes(self, scales: np.ndarray, means: np.ndarray) -> np.ndarray:
+        s = np.maximum(scales, self.scale_table[0])
+        si = np.searchsorted(self.scale_table, s - 1e-9).clip(
+            0, len(self.scale_table) - 1
+        )
+        delta = means - np.round(means)  # [-0.5, 0.5]
+        dj = np.clip(
+            np.floor((delta + 0.5) * self.n_delta), 0, self.n_delta - 1
+        )
+        return (si * self.n_delta + dj).astype(np.int32)
+
+    def encode_ints(
+        self, y_int: np.ndarray, means: np.ndarray, scales: np.ndarray
+    ) -> bytes:
+        sym = y_int.astype(np.int64) - np.round(means).astype(np.int64)
+        return self.codec.encode(
+            sym.astype(np.int32), self.indexes(scales, means)
+        )
+
+    def decode_ints(
+        self, data: bytes, means: np.ndarray, scales: np.ndarray
+    ) -> np.ndarray:
+        sym = self.codec.decode(data, self.indexes(scales, means))
+        return sym.reshape(means.shape) + np.round(means).astype(np.int32)
 
 
 class FactorizedCoder:

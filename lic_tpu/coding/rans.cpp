@@ -178,22 +178,20 @@ long rans_encode_indexed(
   return (long)enc.flush(out, (size_t)out_cap);
 }
 
-long rans_decode_indexed(
-    const uint8_t* in, long n_bytes,
+static void decode_symbols(
+    RansDecoder& dec,
     const int32_t* indexes, long n,
     const uint32_t* cdfs, long row_len,
     const int32_t* offsets,
     int32_t* out) {
-  RansDecoder dec;
-  dec.init(in, (size_t)n_bytes);
   long nsyms = row_len - 2;
   for (long i = 0; i < n; ++i) {
     int32_t idx = indexes[i];
     const uint32_t* cdf = cdfs + (long)idx * row_len;
     int32_t off = offsets[idx];
     uint32_t cum = dec.peek();
-    // linear scan is fine for small alphabets; binary search for large
-    long lo = 0, hi = nsyms;  // slots [0, nsyms] inclusive of escape
+    // binary search over the CDF slots [0, nsyms] (incl. escape)
+    long lo = 0, hi = nsyms;
     while (lo < hi) {
       long mid = (lo + hi + 1) >> 1;
       if (cdf[mid] <= cum) lo = mid; else hi = mid - 1;
@@ -208,11 +206,63 @@ long rans_decode_indexed(
       out[i] = (int32_t)(base + delta + off);
     }
   }
+}
+
+long rans_decode_indexed(
+    const uint8_t* in, long n_bytes,
+    const int32_t* indexes, long n,
+    const uint32_t* cdfs, long row_len,
+    const int32_t* offsets,
+    int32_t* out) {
+  RansDecoder dec;
+  dec.init(in, (size_t)n_bytes);
+  decode_symbols(dec, indexes, n, cdfs, row_len, offsets, out);
   // Integrity: decoding the exact encoder output must return the state to
   // the initial interval bound with every word consumed; truncated or
   // corrupt streams fail one of these instead of silently yielding zeros.
   if (dec.overrun || dec.state != kRansL || dec.ptr != dec.end) return -1;
   return n;
 }
+
+// ---- streaming decoder: one rANS state across incremental calls ----
+//
+// The wavefront AR decode (neural-syntax content stream) can only compute
+// the CDF indexes of wavefront t AFTER decoding wavefront t-1, so the
+// stream is consumed in many small slices while the entropy-coder state
+// must remain continuous (no per-slice flush overhead).
+
+struct RansStream {
+  RansDecoder dec;
+  std::vector<uint8_t> buf;  // own the bytes: Python buffer may be freed
+};
+
+void* rans_stream_create(const uint8_t* in, long n_bytes) {
+  RansStream* s = new RansStream();
+  s->buf.assign(in, in + n_bytes);
+  s->dec.init(s->buf.data(), s->buf.size());
+  return s;
+}
+
+long rans_stream_decode(
+    void* handle,
+    const int32_t* indexes, long n,
+    const uint32_t* cdfs, long row_len,
+    const int32_t* offsets,
+    int32_t* out) {
+  RansStream* s = (RansStream*)handle;
+  decode_symbols(s->dec, indexes, n, cdfs, row_len, offsets, out);
+  return s->dec.overrun ? -1 : n;
+}
+
+// Verifies final-state integrity and frees the handle.  0 = clean end.
+long rans_stream_finish(void* handle) {
+  RansStream* s = (RansStream*)handle;
+  long ok = (!s->dec.overrun && s->dec.state == kRansL &&
+             s->dec.ptr == s->dec.end) ? 0 : -1;
+  delete s;
+  return ok;
+}
+
+void rans_stream_destroy(void* handle) { delete (RansStream*)handle; }
 
 }  // extern "C"

@@ -52,6 +52,17 @@ def _lib() -> ctypes.CDLL:
             u8p, ctypes.c_long, i32p, ctypes.c_long, u32p, ctypes.c_long,
             i32p, i32p,
         ]
+        lib.rans_stream_create.restype = ctypes.c_void_p
+        lib.rans_stream_create.argtypes = [u8p, ctypes.c_long]
+        lib.rans_stream_decode.restype = ctypes.c_long
+        lib.rans_stream_decode.argtypes = [
+            ctypes.c_void_p, i32p, ctypes.c_long, u32p, ctypes.c_long,
+            i32p, i32p,
+        ]
+        lib.rans_stream_finish.restype = ctypes.c_long
+        lib.rans_stream_finish.argtypes = [ctypes.c_void_p]
+        lib.rans_stream_destroy.restype = None
+        lib.rans_stream_destroy.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return lib
 
@@ -134,3 +145,49 @@ class RansCodec:
                 "corrupt or truncated rANS stream (final-state check failed)"
             )
         return out
+
+    def stream_decoder(self, data: bytes) -> "RansStreamDecoder":
+        """Incremental decoder over one continuous rANS state — for AR
+        decodes where later indexes depend on earlier symbols."""
+        return RansStreamDecoder(self, data)
+
+
+class RansStreamDecoder:
+    """Stateful slice-by-slice decoding against a parent ``RansCodec``'s
+    tables.  ``decode(indexes)`` may be called repeatedly; ``finish()``
+    verifies stream integrity (must be called to validate)."""
+
+    def __init__(self, codec: RansCodec, data: bytes):
+        self._codec = codec
+        buf = np.ascontiguousarray(np.frombuffer(data, np.uint8))
+        self._handle = _lib().rans_stream_create(buf, buf.size)
+
+    def decode(self, indexes: np.ndarray) -> np.ndarray:
+        if self._handle is None:
+            raise RuntimeError("stream decoder already finished")
+        indexes = np.ascontiguousarray(indexes.reshape(-1), np.int32)
+        out = np.empty(indexes.size, np.int32)
+        rc = _lib().rans_stream_decode(
+            self._handle, indexes, indexes.size, self._codec.cdfs,
+            self._codec.row_len, self._codec.offsets, out,
+        )
+        if rc < 0:
+            _lib().rans_stream_destroy(self._handle)
+            self._handle = None
+            raise ValueError("corrupt or truncated rANS stream (overrun)")
+        return out
+
+    def finish(self) -> None:
+        if self._handle is None:
+            return
+        rc = _lib().rans_stream_finish(self._handle)
+        self._handle = None
+        if rc != 0:
+            raise ValueError(
+                "corrupt or truncated rANS stream (final-state check failed)"
+            )
+
+    def __del__(self):
+        if getattr(self, "_handle", None) is not None:
+            _lib().rans_stream_destroy(self._handle)
+            self._handle = None

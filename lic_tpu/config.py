@@ -36,6 +36,10 @@ class CodecConfig:
     #   'classic_dual' — h_a + separate mean/scale h_s + EB (source_net.py:699-715)
     #   'elic'         — conv h_a + subpel mean/scale h_s + EB (net_ga.py:811-846)
     #   'unet'         — split U-Net ha/hs + EB(512)        (net_ha.py:867-880)
+    #                    (NOT decodable: decoder eats encoder-side skips)
+    #   'unet_dec'     — decodable U-Net hyper: same decoder topology with
+    #                    the skip pyramid re-synthesized from coded ẑ only
+    #                    (this framework's shippable flagship path)
     #   'latent_unet'  — uncoded latent U-Net mean/scale    (Net_unet.py:869,1014)
     hyper: str = "classic"
 

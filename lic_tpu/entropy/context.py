@@ -68,7 +68,6 @@ class PredictionModelContext(nn.Module):
     dim: int
     outdim: int
 
-    @nn.compact
     def __call__(
         self, y_rounded: jax.Array, h_tilde: jax.Array, masked: bool = True
     ):
@@ -77,16 +76,25 @@ class PredictionModelContext(nn.Module):
         y_pat = block_sample(y_rounded, masked=masked)
         h_pat = block_sample(h_tilde, masked=False)
         merged = jnp.concatenate([y_pat, h_pat], axis=-1)  # (BHW, 4, 4, *)
+        mu, sigma = self.head(merged)
+        return (
+            mu.reshape(b, h, w, c),
+            sigma.reshape(b, h, w, c),
+        )
 
+    @nn.compact
+    def head(self, merged: jax.Array):
+        """Per-position MLP on prebuilt (P, 4, 4, cy+ch) patches →
+        (μ, σ) each (P, outdim/2).  Shared by the full-image forward and
+        the wavefront bitstream decode (``models/compress.py``), which
+        gathers its own patches incrementally."""
+        c = self.outdim // 2
         t = Conv2d(self.dim, kernel_size=3, stride=1, padding=1, name="c0")(merged)
         t = nn.leaky_relu(t, 0.2)
         t = Conv2d(self.dim, kernel_size=3, stride=2, padding=1, name="c1")(t)
         t = nn.leaky_relu(t, 0.2)
         t = Conv2d(self.dim, kernel_size=3, stride=1, padding=1, name="c2")(t)
         t = nn.leaky_relu(t, 0.2)
-        t = t.reshape(t.shape[0], -1)  # (BHW, 2·2·dim)
+        t = t.reshape(t.shape[0], -1)  # (P, 2·2·dim)
         out = nn.Dense(self.outdim, name="fc")(t)
-
-        mu = out[:, :c].reshape(b, h, w, c)
-        sigma = jnp.exp(out[:, c:]).reshape(b, h, w, c)
-        return mu, sigma
+        return out[:, :c], jnp.exp(out[:, c:])

@@ -150,17 +150,23 @@ class ConvTranspose2d(nn.Module):
             + self.output_padding
         out_w = (x.shape[2] - 1) * self.stride - 2 * self.padding + k \
             + self.output_padding
-        if self.stride > 1 and out_h % self.stride == 0 and out_w % self.stride == 0:
-            # zero-skipping polyphase path: s² dense stride-1 convs +
-            # interleave — ~s²/1 fewer MACs than the lhs_dilation lowering,
-            # bit-identical output (see layers/polyphase.py)
-            from .polyphase import conv_transpose2d_polyphase
+        div = out_h % self.stride == 0 and out_w % self.stride == 0
+        if self.stride > 1 and div and self.features < 128:
+            # few output channels starve the MXU lane dim in the dilated
+            # lowering (192→16 at full res: 20.5 ms dilated vs 9.6 ms here);
+            # the subpel lowering computes all s² phases as ONE dense conv
+            # with s²·C_out lanes + a pixel shuffle — bit-identical output
+            # (see layers/polyphase.py::conv_transpose2d_subpel, PERF.md)
+            from .polyphase import conv_transpose2d_subpel
 
-            y = conv_transpose2d_polyphase(
+            y = conv_transpose2d_subpel(
                 x.astype(dtype), kernel.astype(dtype), self.stride,
                 self.padding, self.output_padding,
             )
         else:
+            # XLA's lhs_dilation lowering is the fastest measured path for
+            # wide outputs (46 TF/s vs 34 polyphase / 39 subpel at C=192 —
+            # round-1's polyphase default was stale; docs/PERF.md)
             pad_lo = k - 1 - self.padding
             pad_hi = k - 1 - self.padding + self.output_padding
             y = lax.conv_general_dilated(

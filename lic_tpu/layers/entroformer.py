@@ -217,7 +217,12 @@ class EntroformerContext(nn.Module):
     flow (no position ever conditions on its own value):
 
     * 'raster' — tokens carry the raster-shifted latent (token q embeds
-      y[q−1], start token zero) under a causal mask; decode is sequential.
+      y[q−1], start token zero) under a causal mask; decode is strictly
+      position-sequential (H·W device passes — no wavefront exists because
+      every token attends ALL previous tokens).  TRAIN/ESTIMATE ONLY here:
+      the codec instantiates 'checkerboard' for real bitstreams
+      (``models/codec.py``); raster is kept as the faithful AR capability
+      and for likelihood evaluation.
     * 'checkerboard' — two weight-shared passes: pass 1 predicts the anchor
       half from the hyper alone (y input zeroed), pass 2 predicts the
       non-anchor half seeing only anchor values.  Real decode finishes in

@@ -36,6 +36,85 @@ def _phase_taps(pad_lo: int, r: int, k: int, s: int):
     return taps, offs
 
 
+def conv_transpose2d_subpel(
+    x: jax.Array,
+    kernel: jax.Array,  # (k, k, in, out), correlation orientation
+    stride: int,
+    padding: int,
+    output_padding: int,
+) -> jax.Array:
+    """Transposed conv as ONE dense conv producing s²·C_out channels + a
+    pixel shuffle (subpel lowering).
+
+    Same math as the polyphase decomposition but all phases ride a single
+    conv with the sub-kernels scattered into a ceil(k/s)-wide window
+    (s²·k²−k² zero taps ⇒ (s²·⌈k/s⌉²)/k² FLOP overhead, 1.44× for k=5/s=2)
+    — a worthwhile trade on the MXU where one fat conv with s²·C_out output
+    lanes beats s² skinny convs (measured: the C_out=16 synthesis head runs
+    2.5× faster this way; see docs/PERF.md).
+    """
+    b, h, w, cin = x.shape
+    k = kernel.shape[0]
+    cout = kernel.shape[3]
+    s = stride
+    pad_lo = k - 1 - padding
+    out_h = (h - 1) * s - 2 * padding + k + output_padding
+    out_w = (w - 1) * s - 2 * padding + k + output_padding
+    kw = -(-k // s)  # ceil(k/s): unified window width
+
+    phase_info = [_phase_taps(pad_lo, r, k, s) for r in range(s)]
+    all_offs = [o for _, offs in phase_info for o in offs]
+    o_min, o_max = min(all_offs), max(all_offs)
+    assert o_max - o_min + 1 <= kw
+
+    def n_phase(out_size, r):
+        return (out_size - r + s - 1) // s
+
+    nh = [n_phase(out_h, r) for r in range(s)]
+    nw = [n_phase(out_w, r) for r in range(s)]
+    assert len(set(nh)) == 1 and len(set(nw)) == 1, (
+        "subpel path requires output size divisible by stride"
+    )
+    mh, mw = nh[0], nw[0]
+
+    pad_before = -o_min
+    pad_after_h = (mh - 1) + o_max - (h - 1)
+    pad_after_w = (mw - 1) + o_max - (w - 1)
+    xp = jnp.pad(
+        x,
+        (
+            (0, 0),
+            (pad_before, max(pad_after_h, 0)),
+            (pad_before, max(pad_after_w, 0)),
+            (0, 0),
+        ),
+    )
+
+    # scatter sub-kernels: phase (rh, rw) occupies out-channel block
+    # (rh·s + rw)·cout; tap (a_h, a_w) lands at window position
+    # (off_h − o_min, off_w − o_min)
+    k3 = jnp.zeros((kw, kw, cin, s * s * cout), kernel.dtype)
+    for rh in range(s):
+        taps_h, offs_h = phase_info[rh]
+        for rw in range(s):
+            taps_w, offs_w = phase_info[rw]
+            blk = (rh * s + rw) * cout
+            for a, oh in zip(taps_h, offs_h):
+                for c, ow in zip(taps_w, offs_w):
+                    k3 = k3.at[oh - o_min, ow - o_min, :, blk : blk + cout].set(
+                        kernel[a, c]
+                    )
+
+    y = lax.conv_general_dilated(
+        xp, k3.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (b, mh', mw', s²·cout)
+    y = y[:, :mh, :mw, :]
+    y = y.reshape(b, mh, mw, s, s, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, mh * s, mw * s, cout)
+    return y[:, :out_h, :out_w, :]
+
+
 def conv_transpose2d_polyphase(
     x: jax.Array,
     kernel: jax.Array,  # (k, k, in, out), correlation orientation (as in

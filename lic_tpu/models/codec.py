@@ -43,6 +43,7 @@ from .han import HANHead, mean_shift
 from .hyper import (
     ClassicHyperAnalysis,
     ClassicHyperSynthesis,
+    DecodableUnetHyperSynthesis,
     ElicHyperAnalysis,
     ElicHyperSynthesis,
     LatentUnet,
@@ -138,6 +139,15 @@ class CodecModel(nn.Module):
                 else:
                     self.h_s_scale = UnetHyperSynthesis(N)
                     self.h_s_means = UnetHyperSynthesis(N)
+                self.entropy_bottleneck = EntropyBottleneck(512)
+            elif hyper == "unet_dec":
+                # decodable U-Net hyper: skips re-synthesized from ẑ only
+                self.h_a = UnetHyperAnalysis(N)
+                if cfg.shared_hyper_decoder:
+                    self.h_s = DecodableUnetHyperSynthesis(N, two_heads=True)
+                else:
+                    self.h_s_scale = DecodableUnetHyperSynthesis(N)
+                    self.h_s_means = DecodableUnetHyperSynthesis(N)
                 self.entropy_bottleneck = EntropyBottleneck(512)
             elif hyper == "latent_unet":
                 self.unet = LatentUnet(
@@ -317,7 +327,7 @@ class CodecModel(nn.Module):
                 means = self.unet_b(z3)
             return scales, means, None, None
 
-        if cfg.hyper == "unet":
+        if cfg.hyper in ("unet", "unet_dec"):
             z, middle, skip1, inp = self.h_a(z3)
         else:
             z = self.h_a(z3)
@@ -333,6 +343,13 @@ class CodecModel(nn.Module):
             else:
                 scales = self.h_s_scale(z_hat, middle, skip1, inp)
                 means = self.h_s_means(z_hat, middle, skip1, inp)
+        elif cfg.hyper == "unet_dec":
+            # encoder-side skips are NOT consumed — ẑ is the whole message
+            if cfg.shared_hyper_decoder:
+                scales, means = self.h_s(z_hat)
+            else:
+                scales = self.h_s_scale(z_hat)
+                means = self.h_s_means(z_hat)
         else:
             scales = self.h_scale_s(z_hat)
             means = self.h_mean_s(z_hat)
@@ -438,7 +455,7 @@ class CodecModel(nn.Module):
 
     def hyper_encode(self, z3):
         z = self.h_a(z3)
-        if self.cfg.hyper == "unet":
+        if self.cfg.hyper in ("unet", "unet_dec"):
             z = z[0]
         return z
 
@@ -450,7 +467,11 @@ class CodecModel(nn.Module):
 
     def hyper_decode(self, z_hat):
         """z_hat → (latent_scales, latent_means) — decodable hypers only."""
-        assert self.cfg.hyper in ("classic_dual", "elic")
+        assert self.cfg.hyper in ("classic_dual", "elic", "unet_dec")
+        if self.cfg.hyper == "unet_dec":
+            if self.cfg.shared_hyper_decoder:
+                return self.h_s(z_hat)
+            return self.h_s_scale(z_hat), self.h_s_means(z_hat)
         return self.h_scale_s(z_hat), self.h_mean_s(z_hat)
 
     def syntax_from_latent(self, z3):
@@ -479,6 +500,34 @@ class CodecModel(nn.Module):
         """y_hat (+ syntax vector) → reconstruction."""
         x_tilde = self.g_s(y_hat)
         return self._decode_tail(x_tilde, syntax_rounded, training=False)
+
+    # ----------------------- neural-syntax bitstream sub-passes
+    #
+    # The reference never wrote the position-sequential decode its spatial
+    # context model implies (``model/net.py:219-319,766-790`` — SURVEY
+    # §7.8).  These entry points expose the pieces the wavefront coder in
+    # ``models/compress.py`` schedules: the 4×4 causal context admits an
+    # anti-diagonal (t = 2·row + col) wavefront where every wavefront's
+    # positions are mutually independent.
+
+    def ns_hyper_encode(self, z3):
+        """z3 → z2 (unrounded; symbols are round(z2))."""
+        return self.ha_model(z3)
+
+    def ns_hyper_decode(self, z2_int):
+        """Integer ẑ2 → hyper features h2."""
+        return self.hs_model(z2_int)
+
+    def ns_z2_sigma(self):
+        return jnp.abs(self.z2_sigma)[0, 0, 0]  # (N,)
+
+    def ns_syntax_params(self, h2):
+        """(μ, σ) for the syntax vector — depends only on coded ẑ2."""
+        return self.prediction_model_syntax(h2)
+
+    def ns_context_head(self, merged):
+        """(μ, σ) from prebuilt (P, 4, 4, c_y+c_h) context patches."""
+        return self.prediction_model.head(merged)
 
     def entro_predict(self, y_in, latent_scales, latent_means):
         """One checkerboard context pass: (μ, σ) given the currently-decoded
@@ -547,7 +596,7 @@ class CodecModel(nn.Module):
     def entropy_aux_loss(self) -> jax.Array:
         """Factorized-prior quantile loss (0 when no EntropyBottleneck)."""
         if self.cfg.family == "charm" and self.cfg.hyper in (
-            "classic_dual", "elic", "unet"
+            "classic_dual", "elic", "unet", "unet_dec"
         ):
             return self.entropy_bottleneck.aux_loss()
         return jnp.zeros(())

@@ -19,6 +19,20 @@ decodable as designed — their entropy parameters consume encoder-side
 activations (``net_unet_ha_hs.py:880,892``; ``Net_unet.py:1014``) — and are
 rejected with an explanatory error.
 
+neural_syntax family (the reference's ``model/net.py`` — it never wrote the
+sequential decode its spatial context implies; SURVEY §7.8):
+  the 4×4 causal context window of ``PredictionModel_Context`` reads rows
+  p−3..p−1 (cols q−2..q+1) plus (p, q−2), (p, q−1), so every position on
+  the anti-diagonal t = 2p + q depends only on strictly-earlier wavefronts.
+  Decode runs T = 2(H−1)+W wavefronts; each step gathers the ≤P_max
+  context patches on host, runs the per-position (μ, σ) head on device
+  (one statically-shaped jitted call reused every step) and rANS-decodes
+  that wavefront's symbols from ONE continuous stream (streaming decoder —
+  no per-wavefront flush overhead).  The encoder drives the *identical*
+  schedule/shapes so μ/σ match the decoder bit-for-bit.  z2 ints ride the
+  learned per-channel N(0, σ_z2); the syntax vector rides
+  ``PredictionModel_Syntax``'s (μ, σ) — both decodable from coded data.
+
 Bitstream layout (little-endian):
   magic 'LTC2' | u8 name-len | name (utf-8) | u32 model digest (crc32 of
   the factorized-prior CDF tables — catches wrong weights/preset at decode)
@@ -38,35 +52,64 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..coding.codec import FactorizedCoder, GaussianCoder
+from ..coding.codec import FactorizedCoder, GaussianCoder, GaussianMuCoder
 from ..data.pad import pad_to_multiple, padded_size
 from .codec import CodecModel
 
 MAGIC = b"LTC2"
 Z_RANGE = 128  # factorized-prior symbol support: [-128, 127] rel. medians
 
-_DECODABLE = ("classic_dual", "elic")
+_DECODABLE = ("classic_dual", "elic", "unet_dec")
+
+
+def wavefront_groups(h: int, w: int):
+    """Anti-diagonal schedule for the 4×4 causal context: positions with
+    equal t = 2·row + col are mutually independent and depend only on
+    earlier t.  Returns a list of (rows, cols) int arrays, t ascending."""
+    groups = []
+    for t in range(2 * (h - 1) + w):
+        p_min = max(0, -(-(t - w + 1) // 2))  # ceil((t-w+1)/2)
+        p_max = min(h - 1, t // 2)
+        if p_min > p_max:
+            continue
+        ps = np.arange(p_min, p_max + 1, dtype=np.int64)
+        groups.append((ps, t - 2 * ps))
+    return groups
+
+
+def _gather_patches(padded: np.ndarray, ps, qs, p_max: int) -> np.ndarray:
+    """(H+6, W+6, C) 3-padded plane → (p_max, 4, 4, C) context patches for
+    positions (ps, qs); rows beyond len(ps) are zero.  Geometry matches
+    ``entropy.context.block_sample``: patch[i, j] = x_pad[p+i, q+j+1]."""
+    n = len(ps)
+    c = padded.shape[-1]
+    out = np.zeros((p_max, 4, 4, c), np.float32)
+    for i in range(4):
+        for j in range(4):
+            out[:n, i, j, :] = padded[ps + i, qs + j + 1, :]
+    return out
 
 
 class ChannelCoder:
     """Owns the jitted sub-passes + rANS coders for one (model, params)."""
 
     def __init__(self, model: CodecModel, params: Any, name: str = ""):
-        if model.cfg.hyper not in _DECODABLE:
-            raise ValueError(
-                f"hyper path '{model.cfg.hyper}' is not decodable: the "
-                "reference feeds encoder-side activations into its hyper "
-                "decoder (see lic_tpu.models.compress docstring); use a "
-                "'classic_dual' or 'elic' preset for real bitstreams"
-            )
-        if model.cfg.family != "charm":
-            raise ValueError(
-                "bitstream pipeline currently covers the charm family; the "
-                "neural_syntax spatial-context model requires position-"
-                "sequential decoding (future work)"
-            )
+        cfg = model.cfg
         self.model = model
         self.params = params
+        self.is_ns = cfg.family == "neural_syntax"
+        self.name = name or f"{cfg.family}.{cfg.transform}.{cfg.hyper}.{cfg.context}"
+        if self.is_ns:
+            self._init_neural_syntax()
+            return
+        if cfg.hyper not in _DECODABLE:
+            raise ValueError(
+                f"hyper path '{cfg.hyper}' is not decodable: the "
+                "reference feeds encoder-side activations into its hyper "
+                "decoder (see lic_tpu.models.compress docstring); use a "
+                "'classic_dual' or 'elic' preset for real bitstreams (or "
+                "the neural_syntax family's wavefront coder)"
+            )
 
         ap = lambda method: partial(
             jax.jit(
@@ -113,11 +156,37 @@ class ChannelCoder:
             np.asarray(pmf), np.asarray(medians), -Z_RANGE
         )
         self.y_coder = GaussianCoder()
-        cfg = model.cfg
-        self.name = name or f"{cfg.family}.{cfg.transform}.{cfg.hyper}.{cfg.context}"
         # weights digest: crc32 of the quantized factorized-prior CDF tables
         # (a pure function of the trained params, already on host)
         self.digest = zlib.crc32(self.z_coder.codec.cdfs.tobytes()) & 0xFFFFFFFF
+
+    # ------------------------------------------- neural-syntax machinery
+
+    def _init_neural_syntax(self):
+        model, params = self.model, self.params
+        ap = lambda method: partial(
+            jax.jit(
+                lambda p, *a: model.apply({"params": p}, *a, method=method)
+            ),
+            params,
+        )
+        self._analyze = ap(CodecModel.analyze)
+        self._ns_ha = ap(CodecModel.ns_hyper_encode)
+        self._ns_hs = ap(CodecModel.ns_hyper_decode)
+        self._ns_syntax_params = ap(CodecModel.ns_syntax_params)
+        self._ns_head = ap(CodecModel.ns_context_head)
+        self._ns_syntax_vec = ap(CodecModel.syntax_from_latent)
+        self._synthesize = ap(CodecModel.synthesize)
+
+        sigma_z2 = np.abs(
+            np.asarray(
+                model.apply({"params": params}, method=CodecModel.ns_z2_sigma)
+            )
+        )  # (N,)
+        self.z2_sigma = sigma_z2
+        self.z2_coder = GaussianCoder()
+        self.mu_coder = GaussianMuCoder()
+        self.digest = zlib.crc32(sigma_z2.tobytes()) & 0xFFFFFFFF
 
     # ------------------------------------------------------------- encode
 
@@ -128,6 +197,8 @@ class ChannelCoder:
         b, h, w, _ = x.shape
         assert b == 1, "one image per bitstream"
         x, _ = pad_to_multiple(x, 64)
+        if self.is_ns:
+            return self._compress_ns(x, h, w)
 
         z3 = self._analyze(x)
         # symbols are rounded ON DEVICE so they match the jitted forward's
@@ -188,6 +259,297 @@ class ChannelCoder:
             out += struct.pack("<I", len(blob))
             out += blob
         return bytes(out)
+
+    # --------------------------- batched + host-overlapped codec path
+
+    def compress_batch(self, xs: jax.Array) -> List[bytes]:
+        """Compress B same-sized images through ONE batched device pipeline.
+
+        Device work (transforms, hyper, slice μ/σ) runs batched — one
+        dispatch per stage instead of per image — and the host rANS encodes
+        are submitted to a worker thread as soon as each slice's symbols
+        land, overlapping entropy coding with the remaining device compute
+        (SURVEY §7.8 "pipelined host coding").
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        cfg = self.model.cfg
+        assert not self.is_ns and not self.is_entro, (
+            "batched path covers the charm slice models"
+        )
+        b, h, w, _ = xs.shape
+        xs, _ = pad_to_multiple(xs, 64)
+
+        z3 = self._analyze(xs)
+        z_dev = self._hyper_encode(z3)
+        z_sym = np.asarray(
+            jnp.round(z_dev - jnp.asarray(self.z_coder.medians))
+        ).astype(np.int32)
+        z_hat = jnp.asarray(z_sym.astype(np.float32) + self.z_coder.medians)
+        scales, means = self._hyper_decode(z_hat)
+
+        if cfg.syntax != "none":
+            syntax = np.asarray(self._syntax(z3))[:, 0, 0].astype(np.int16)
+        else:
+            syntax = np.zeros((b, 0), np.int16)
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            z_jobs = [
+                pool.submit(self.z_coder.encode_symbols, z_sym[i : i + 1])
+                for i in range(b)
+            ]
+            y_slices = np.split(np.asarray(z3), cfg.num_slices, axis=-1)
+            supports: List[jax.Array] = []
+            slice_jobs = [[] for _ in range(b)]
+            for si in range(cfg.num_slices):
+                sup = (
+                    supports[: cfg.max_support_slices]
+                    if cfg.max_support_slices >= 0
+                    else supports
+                )
+                mu, sigma, mean_support = self._entropy_params[si](
+                    means, scales, tuple(sup)
+                )
+                mu_np = np.asarray(mu)
+                symbols = np.asarray(
+                    jnp.round(jnp.asarray(y_slices[si]) - mu)
+                ).astype(np.int32)
+                sg_np = np.asarray(sigma)
+                for i in range(b):
+                    slice_jobs[i].append(
+                        pool.submit(
+                            self.y_coder.encode_symbols,
+                            symbols[i : i + 1], sg_np[i : i + 1],
+                        )
+                    )
+                y_hat = jnp.asarray(symbols.astype(np.float32) + mu_np)
+                y_hat = self._lrp[si](mean_support, y_hat)
+                supports.append(y_hat)
+
+            return [
+                self._pack(
+                    h, w, syntax[i], z_jobs[i].result(),
+                    [f.result() for f in slice_jobs[i]],
+                )
+                for i in range(b)
+            ]
+
+    def decompress_batch(self, blobs: List[bytes]) -> jax.Array:
+        """Decode B same-sized bitstreams through batched device passes.
+
+        The slice ping-pong is inherently sequential (slice i's μ/σ need
+        decoded slices < i) but batching across images amortizes every
+        device dispatch B-fold; host rANS decodes run between device steps.
+        """
+        cfg = self.model.cfg
+        b = len(blobs)
+        heads = [self._parse_header(d) for d in blobs]
+        orig_h, orig_w = heads[0][1], heads[0][2]
+        assert all(
+            (hh[1], hh[2]) == (orig_h, orig_w) for hh in heads
+        ), "decompress_batch needs same-sized bitstreams"
+        h, w = padded_size(orig_h, orig_w, 64)
+
+        z_shape = (1, h // 64, w // 64, self.z_coder.medians.shape[0])
+        z_hats, syns, offs = [], [], []
+        for data, hd in zip(blobs, heads):
+            off = hd[0]
+            syn = hd[3]
+            (z_len,) = struct.unpack_from("<I", data, off)
+            off += 4
+            z_blob = data[off : off + z_len]
+            off += z_len
+            z_hats.append(self.z_coder.decode(z_blob, z_shape))
+            syns.append(syn)
+            offs.append(off)
+        z_hat = jnp.asarray(np.concatenate(z_hats, axis=0))
+        scales, means = self._hyper_decode(z_hat)
+
+        supports: List[jax.Array] = []
+        for si in range(cfg.num_slices):
+            sup = (
+                supports[: cfg.max_support_slices]
+                if cfg.max_support_slices >= 0
+                else supports
+            )
+            mu, sigma, mean_support = self._entropy_params[si](
+                means, scales, tuple(sup)
+            )
+            mu_np, sg_np = np.asarray(mu), np.asarray(sigma)
+            y_hats = []
+            for i in range(b):
+                (blen,) = struct.unpack_from("<I", blobs[i], offs[i])
+                offs[i] += 4
+                blob = blobs[i][offs[i] : offs[i] + blen]
+                offs[i] += blen
+                y_hats.append(
+                    self.y_coder.decode(
+                        blob, mu_np[i : i + 1], sg_np[i : i + 1]
+                    )
+                )
+            y_hat = self._lrp[si](
+                mean_support, jnp.asarray(np.concatenate(y_hats), jnp.float32)
+            )
+            supports.append(y_hat)
+
+        y_full = jnp.concatenate(supports, axis=-1)
+        m_len = syns[0].size
+        syn = (
+            jnp.asarray(np.stack(syns).astype(np.float32)).reshape(b, 1, 1, -1)
+            if m_len
+            else None
+        )
+        rec = self._synthesize(y_full, syn)
+        return rec[:, :orig_h, :orig_w, :]
+
+    def _parse_header(self, data: bytes):
+        """→ (offset past header, orig_h, orig_w, syntax int16 array)."""
+        if data[:4] != MAGIC:
+            raise ValueError("bad magic — not an LTC2 bitstream")
+        off = 4
+        (nlen,) = struct.unpack_from("<B", data, off)
+        off += 1
+        name = data[off : off + nlen].decode("utf-8")
+        off += nlen
+        (digest,) = struct.unpack_from("<I", data, off)
+        off += 4
+        if name != self.name:
+            raise ValueError(
+                f"bitstream was produced by model '{name}', this coder is "
+                f"'{self.name}'"
+            )
+        if digest != self.digest:
+            raise ValueError(
+                "bitstream weights digest mismatch — decoding with "
+                "different parameters than it was encoded with"
+            )
+        orig_h, orig_w = struct.unpack_from("<HH", data, off)
+        off += 4
+        (m_len,) = struct.unpack_from("<H", data, off)
+        off += 2
+        syntax = np.frombuffer(data, np.int16, m_len, off)
+        off += m_len * 2
+        return off, orig_h, orig_w, syntax
+
+    # ------------------------------- neural-syntax wavefront coding
+
+    def _ns_wavefront(self, h2_np, y_int=None, stream=None):
+        """Run the wavefront schedule over the content latent.
+
+        Encode mode (``y_int`` given): returns (mu, sigma, ints) flattened
+        in wavefront order.  Decode mode (``stream`` given): additionally
+        reconstructs the plane from the rANS stream; returns the plane.
+        Both modes run the *identical* device calls (same P_max-padded
+        shapes) so μ/σ agree bit-for-bit between encoder and decoder.
+        """
+        cfg = self.model.cfg
+        c = cfg.N - cfg.M
+        hy, wy = h2_np.shape[0], h2_np.shape[1]
+        groups = wavefront_groups(hy, wy)
+        p_max = max(len(g[0]) for g in groups)
+        hpad = np.pad(h2_np, ((3, 3), (3, 3), (0, 0))).astype(np.float32)
+        if y_int is not None:
+            ypad = np.pad(
+                y_int.astype(np.float32), ((3, 3), (3, 3), (0, 0))
+            )
+        else:
+            ypad = np.zeros((hy + 6, wy + 6, c), np.float32)
+
+        mus, sgs, ints = [], [], []
+        for ps, qs in groups:
+            n = len(ps)
+            ypat = _gather_patches(ypad, ps, qs, p_max)
+            ypat[:, 3, 2:, :] = 0.0  # causal mask: self + right neighbour
+            hpat = _gather_patches(hpad, ps, qs, p_max)
+            merged = jnp.asarray(np.concatenate([ypat, hpat], axis=-1))
+            mu, sg = self._ns_head(merged)
+            mu = np.asarray(mu, np.float32)[:n]
+            sg = np.asarray(sg, np.float32)[:n]
+            mus.append(mu)
+            sgs.append(sg)
+            if stream is not None:
+                idx = self.mu_coder.indexes(sg, mu)
+                sym = stream.decode(idx).reshape(n, c)
+                vals = sym + np.round(mu).astype(np.int32)
+                ypad[ps + 3, qs + 3, :] = vals.astype(np.float32)
+                ints.append(vals)
+            else:
+                ints.append(y_int[ps, qs, :])
+        mu_all = np.concatenate(mus, axis=0)
+        sg_all = np.concatenate(sgs, axis=0)
+        y_all = np.concatenate(ints, axis=0)
+        plane = ypad[3 : 3 + hy, 3 : 3 + wy, :]
+        return mu_all, sg_all, y_all, plane
+
+    def _compress_ns(self, x: jax.Array, h: int, w: int) -> bytes:
+        cfg = self.model.cfg
+        z3 = self._analyze(x)
+        z2 = self._ns_ha(z3)
+        z2_int = np.asarray(jnp.round(z2)).astype(np.int32)
+        scales_z2 = np.broadcast_to(self.z2_sigma, z2_int.shape)
+        blob_z2 = self.z2_coder.encode_symbols(z2_int, scales_z2)
+
+        h2 = self._ns_hs(jnp.asarray(z2_int, jnp.float32))
+        syn_int = np.asarray(self._ns_syntax_vec(z3)).astype(np.int32)
+        mu_s, sg_s = self._ns_syntax_params(h2)
+        blob_syn = self.mu_coder.encode_ints(
+            syn_int.reshape(-1),
+            np.asarray(mu_s, np.float32).reshape(-1),
+            np.asarray(sg_s, np.float32).reshape(-1),
+        )
+
+        content = z3[..., cfg.M :]
+        y_int = np.asarray(jnp.round(content)).astype(np.int32)[0]
+        mu_all, sg_all, y_all, _ = self._ns_wavefront(
+            np.asarray(h2, np.float32)[0], y_int=y_int
+        )
+        blob_y = self.mu_coder.encode_ints(y_all, mu_all, sg_all)
+
+        return self._pack(
+            h, w, np.zeros((0,), np.int16), blob_z2, [blob_syn, blob_y]
+        )
+
+    def _decompress_ns(self, data, off, orig_h, orig_w, h, w):
+        cfg = self.model.cfg
+        (z_len,) = struct.unpack_from("<I", data, off)
+        off += 4
+        z_blob = data[off : off + z_len]
+        off += z_len
+        z_shape = (1, h // 64, w // 64, cfg.N)
+        scales_z2 = np.broadcast_to(self.z2_sigma, z_shape)
+        z2_int = (
+            self.z2_coder.codec.decode(
+                z_blob, self.z2_coder.scale_indexes(scales_z2)
+            )
+            .reshape(z_shape)
+            .astype(np.float32)
+        )
+        h2 = self._ns_hs(jnp.asarray(z2_int))
+
+        (s_len,) = struct.unpack_from("<I", data, off)
+        off += 4
+        s_blob = data[off : off + s_len]
+        off += s_len
+        mu_s, sg_s = self._ns_syntax_params(h2)
+        syn_int = self.mu_coder.decode_ints(
+            s_blob,
+            np.asarray(mu_s, np.float32).reshape(-1),
+            np.asarray(sg_s, np.float32).reshape(-1),
+        )
+
+        (y_len,) = struct.unpack_from("<I", data, off)
+        off += 4
+        y_blob = data[off : off + y_len]
+        stream = self.mu_coder.codec.stream_decoder(y_blob)
+        _, _, _, plane = self._ns_wavefront(
+            np.asarray(h2, np.float32)[0], stream=stream
+        )
+        stream.finish()
+
+        content = jnp.asarray(plane[None], jnp.float32)
+        syn = jnp.asarray(syn_int, jnp.float32).reshape(1, 1, 1, -1)
+        rec = self._synthesize(content, syn)
+        return rec[:, :orig_h, :orig_w, :]
 
     # --------------------------------------- entroformer (2-pass) coding
 
@@ -257,32 +619,13 @@ class ChannelCoder:
 
     def decompress(self, data: bytes) -> jax.Array:
         cfg = self.model.cfg
-        if data[:4] != MAGIC:
-            raise ValueError("bad magic — not an LTC2 bitstream")
-        off = 4
-        (nlen,) = struct.unpack_from("<B", data, off)
-        off += 1
-        name = data[off : off + nlen].decode("utf-8")
-        off += nlen
-        (digest,) = struct.unpack_from("<I", data, off)
-        off += 4
-        if name != self.name:
-            raise ValueError(
-                f"bitstream was produced by model '{name}', "
-                f"this coder is '{self.name}'"
-            )
-        if digest != self.digest:
-            raise ValueError(
-                "bitstream weights digest mismatch — decoding with "
-                "different parameters than it was encoded with"
-            )
-        orig_h, orig_w = struct.unpack_from("<HH", data, off)
-        off += 4
+        off, orig_h, orig_w, syn16 = self._parse_header(data)
         h, w = padded_size(orig_h, orig_w, 64)
-        (m_len,) = struct.unpack_from("<H", data, off)
-        off += 2
-        syntax = np.frombuffer(data, np.int16, m_len, off).astype(np.float32)
-        off += m_len * 2
+        if self.is_ns:
+            # NS codes its syntax vector; the header field is empty
+            return self._decompress_ns(data, off, orig_h, orig_w, h, w)
+        m_len = syn16.size
+        syntax = syn16.astype(np.float32)
         (z_len,) = struct.unpack_from("<I", data, off)
         off += 4
         z_blob = data[off : off + z_len]

@@ -199,6 +199,33 @@ class UnetHyperSynthesis(nn.Module):
         return out
 
 
+class DecodableUnetHyperSynthesis(nn.Module):
+    """Decodable variant of the U-Net hyper decoder.
+
+    The reference's ``Unet_hs_new`` consumes *encoder-side* activations as
+    skip tensors — ``skip1`` (the /2-scale feature) and ``inp`` (the latent
+    z3 itself) cross from ``Unet_ha_new`` (``net_unet_ha_hs.py:880,892``) —
+    so no bitstream can reproduce them.  Here the skip pyramid is
+    RE-SYNTHESIZED from the coded ẑ alone (two learned upsample stages),
+    then fed through the same decoder topology.  This is the framework's
+    shippable-flagship path: same capacity class, real bitstreams.
+    """
+
+    out_channels: int = 192
+    num_heads: int = 8
+    two_heads: bool = False
+
+    @nn.compact
+    def __call__(self, z_hat):
+        skip1 = ConvTranspose2d(256, 5, 2, 2, 1, name="skip_up1")(z_hat)
+        skip1 = gelu(skip1)
+        inp = ConvTranspose2d(192, 5, 2, 2, 1, name="skip_up2")(skip1)
+        inp = gelu(inp)
+        return UnetHyperSynthesis(
+            self.out_channels, self.num_heads, self.two_heads, name="body"
+        )(z_hat, z_hat, skip1, inp)
+
+
 # ------------------------------------------------- latent spatial U-Nets
 
 class LatentUnet(nn.Module):

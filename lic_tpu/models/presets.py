@@ -66,6 +66,18 @@ PRESETS: Dict[str, CodecConfig] = {
         swatten=True,
         syntax="wam",
     ),
+    # Decodable flagship (no reference counterpart by design): the
+    # net_unet_ha_hs architecture with the skip pyramid re-synthesized from
+    # coded ẑ only, so it emits REAL bitstreams (the reference's U-Net hyper
+    # decoder consumes encoder-side activations, net_unet_ha_hs.py:880,892,
+    # and therefore cannot decode).
+    "net_unet_ha_hs_dec": CodecConfig(
+        family="charm",
+        transform="rich",
+        hyper="unet_dec",
+        swatten=True,
+        syntax="wam",
+    ),
     # model/net_unet_ha_hs_1.py — g_s outputs RGB directly (syntax conv
     # bypassed), separate scale/means U-Net decoders.
     "net_unet_ha_hs_1": CodecConfig(

@@ -157,6 +157,24 @@ class TestModelCompress:
         with pytest.raises(ValueError, match="magic"):
             enc.decompress(b"XXXX" + blob[4:])
 
+    def test_batch_path_matches_single(self, setup):
+        """compress_batch/decompress_batch (batched device passes + host
+        coding overlap) produce byte-identical streams and identical
+        reconstructions to the per-image path."""
+        model, params, _ = setup
+        coder = ChannelCoder(model, params)
+        rng = np.random.default_rng(13)
+        xs = jnp.asarray(rng.uniform(-1, 1, (3, 128, 128, 3)).astype(np.float32))
+        blobs = coder.compress_batch(xs)
+        for i in range(3):
+            single = coder.compress(xs[i : i + 1])
+            assert blobs[i] == single, f"stream {i} differs from single path"
+        rec = coder.decompress_batch(blobs)
+        rec0 = coder.decompress(blobs[0])
+        np.testing.assert_allclose(
+            np.asarray(rec[0:1]), np.asarray(rec0), atol=1e-4
+        )
+
     def test_undecodable_hyper_rejected(self):
         cfg = CodecConfig(
             family="charm", transform="plain", hyper="latent_unet",
@@ -165,6 +183,117 @@ class TestModelCompress:
         model = CodecModel(cfg)
         with pytest.raises(ValueError, match="not decodable"):
             ChannelCoder(model, params={})
+
+
+class TestWavefront:
+    def test_groups_partition_and_causality(self):
+        """Every position appears exactly once; every unmasked context cell
+        of a position lies on a strictly earlier wavefront."""
+        from lic_tpu.models.compress import wavefront_groups
+
+        h, w = 7, 11
+        seen = np.zeros((h, w), bool)
+        t_of = np.full((h, w), -1, np.int64)
+        groups = wavefront_groups(h, w)
+        for t, (ps, qs) in enumerate(groups):
+            assert not seen[ps, qs].any()
+            seen[ps, qs] = True
+            t_of[ps, qs] = t
+        assert seen.all()
+        # context cells: patch[i,j] -> (p+i-3, q+j-2), masked (3,2),(3,3)
+        for p in range(h):
+            for q in range(w):
+                for i in range(4):
+                    for j in range(4):
+                        if i == 3 and j >= 2:
+                            continue
+                        pp, qq = p + i - 3, q + j - 2
+                        if 0 <= pp < h and 0 <= qq < w:
+                            assert t_of[pp, qq] < t_of[p, q]
+
+    def test_stream_decoder_matches_oneshot(self):
+        from lic_tpu.coding.rans import RansCodec, pmf_to_quantized_cdf
+
+        rng = np.random.default_rng(5)
+        xs = np.arange(-10, 11)
+        pmf = np.exp(-0.5 * (xs / 2.0) ** 2)
+        pmf /= pmf.sum() * 1.0001
+        codec = RansCodec(
+            np.stack([pmf_to_quantized_cdf(pmf)] * 3),
+            np.asarray([-10, -10, -10]),
+        )
+        syms = rng.integers(-15, 15, 500).astype(np.int32)
+        idx = rng.integers(0, 3, 500).astype(np.int32)
+        blob = codec.encode(syms, idx)
+        dec = codec.stream_decoder(blob)
+        outs = [dec.decode(idx[i : i + 37]) for i in range(0, 500, 37)]
+        dec.finish()
+        np.testing.assert_array_equal(np.concatenate(outs), syms)
+
+
+class TestNeuralSyntaxCompress:
+    def test_roundtrip_matches_forward(self):
+        """The wavefront-scheduled sequential decode reproduces the jitted
+        eval forward exactly (same integer latents → same reconstruction)."""
+        from lic_tpu.models import build_model
+
+        model = build_model("neural_syntax")
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            x, training=True,
+        )
+        coder = ChannelCoder(model, v["params"])
+        blob = coder.compress(x)
+        assert len(blob) > 12
+        rec = coder.decompress(blob)
+        out = model.apply(v, x, training=False)
+        np.testing.assert_allclose(
+            np.asarray(rec), np.asarray(out.x_tilde), atol=1e-4
+        )
+
+    def test_real_bpp_close_to_estimate(self):
+        from lic_tpu.models import build_model
+
+        model = build_model("neural_syntax")
+        rng = np.random.default_rng(10)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            x, training=True,
+        )
+        coder = ChannelCoder(model, v["params"])
+        real_bpp = len(coder.compress(x)) * 8 / (128 * 128)
+        est_bpp = float(model.apply(v, x, training=False).bpp)
+        assert real_bpp < est_bpp * 1.2 + 0.3, (real_bpp, est_bpp)
+
+
+class TestDecodableUnetHyper:
+    def test_roundtrip_matches_forward(self):
+        """The decodable U-Net hyper (skip pyramid re-synthesized from coded
+        ẑ) emits a real bitstream that reproduces the eval forward."""
+        from lic_tpu.models import build_model
+
+        # keep the CPU test light: the unet_dec hyper path is what's under
+        # test; transforms/attention are covered elsewhere
+        model = build_model(
+            "net_unet_ha_hs_dec", transform="plain", swatten=False,
+            syntax="basic",
+        )
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            x, training=True,
+        )
+        coder = ChannelCoder(model, v["params"], name="net_unet_ha_hs_dec")
+        blob = coder.compress(x)
+        rec = coder.decompress(blob)
+        out = model.apply(v, x, training=False)
+        np.testing.assert_allclose(
+            np.asarray(rec), np.asarray(out.x_tilde), atol=1e-4
+        )
 
 
 class TestEntroformerCompress:

@@ -84,6 +84,57 @@ class TestPolyphaseDeconv:
             np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
         )
 
+    @pytest.mark.parametrize("case", [
+        (9, 7, 3, 5, 5, 2, 3, 1),
+        (8, 6, 4, 6, 5, 2, 2, 1),
+        (4, 4, 2, 3, 3, 2, 1, 1),
+    ])
+    def test_subpel_matches_dilated_form(self, case):
+        """The subpel lowering (one dense conv → s²·C_out + pixel shuffle,
+        the default for narrow outputs) is exact."""
+        from jax import lax
+
+        from lic_tpu.layers.polyphase import conv_transpose2d_subpel
+
+        h, w, cin, cout, k, s, p, op = case
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
+        kern = jnp.asarray(
+            rng.standard_normal((k, k, cin, cout)).astype(np.float32) * 0.1
+        )
+        pad_lo, pad_hi = k - 1 - p, k - 1 - p + op
+        ref = lax.conv_general_dilated(
+            x, kern, (1, 1), ((pad_lo, pad_hi), (pad_lo, pad_hi)),
+            lhs_dilation=(s, s), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        out = conv_transpose2d_subpel(x, kern, s, p, op)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+
+class TestPallasConv5s2:
+    def test_matches_xla_conv(self):
+        from jax import lax
+
+        from lic_tpu.layers.pallas_conv import conv5s2_pallas
+
+        rng = np.random.default_rng(4)
+        for shape, co in [((2, 16, 24, 5), 7), ((1, 64, 96, 3), 9)]:
+            x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+            k = jnp.asarray(
+                rng.standard_normal((5, 5, shape[-1], co)).astype(np.float32)
+            )
+            ref = lax.conv_general_dilated(
+                x, k, (2, 2), ((1, 2), (1, 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            got = conv5s2_pallas(x, k, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+            )
+
     def test_gradients_match(self):
         from jax import lax
 

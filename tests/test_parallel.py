@@ -44,3 +44,33 @@ def test_spatially_sharded_eval_matches_unsharded():
         np.asarray(out_sharded), np.asarray(out_ref.x_tilde),
         rtol=5e-4, atol=5e-4,
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_spatially_sharded_rich_swatten_clic_height():
+    """CLIC-scale height (2048 px) through the flagship-class transforms
+    (rich + SWAtten slice loop + WAM syntax, net_ga preset): height sharded
+    over 8 devices — window attention + conv halos become ICI collectives."""
+    from lic_tpu.models import build_model
+
+    model = build_model("net_ga")
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 2048, 128, 3)).astype(np.float32))
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        x, training=True,
+    )
+    out_ref = model.apply(v, x, training=False)
+
+    mesh = make_mesh(8, axis_names=("spatial",))
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "spatial")))
+    ps = jax.device_put(v["params"], replicated(mesh))
+    fwd = jax.jit(
+        lambda p, xx: model.apply({"params": p}, xx, training=False).x_tilde,
+        in_shardings=(replicated(mesh), NamedSharding(mesh, P(None, "spatial"))),
+    )
+    out_sharded = fwd(ps, xs)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded), np.asarray(out_ref.x_tilde),
+        rtol=5e-4, atol=5e-4,
+    )
