@@ -33,24 +33,36 @@ EVAL_IMAGE = (
 )
 
 
-def crop_batches(imgs, batch, crop, seed):
-    """In-RAM random crop + flip sampler (the 1-vCPU host can't afford
-    per-step JPEG decodes)."""
-    rng = np.random.default_rng(seed)
-    while True:
-        out = np.empty((batch, crop, crop, 3), np.float32)
-        for i in range(batch):
-            img = imgs[rng.integers(len(imgs))]
-            h, w = img.shape[:2]
-            t = rng.integers(0, h - crop + 1)
-            l = rng.integers(0, w - crop + 1)
-            patch = img[t : t + crop, l : l + crop]
-            if rng.random() < 0.5:
-                patch = patch[:, ::-1]
-            if rng.random() < 0.5:
-                patch = patch[::-1]
-            out[i] = patch.astype(np.float32) / 127.5 - 1.0
-        yield out
+def device_sampler(imgs_dev, batch, crop):
+    """On-device random crop + flip sampler.
+
+    The tunneled TPU adds ~0.5 s RTT and ~limited bandwidth per dispatch;
+    shipping (K·B, 256², 3) host crops dominated the step time.  Instead
+    the (few, small) training images live on device and each step carves
+    its batch with dynamic_slice + flips inside the jitted graph — zero
+    per-step host→device payload.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n, ih, iw, _ = imgs_dev.shape
+
+    def sample_one(key):
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        idx = jax.random.randint(k1, (), 0, n)
+        t = jax.random.randint(k2, (), 0, ih - crop + 1)
+        l = jax.random.randint(k3, (), 0, iw - crop + 1)
+        patch = jax.lax.dynamic_slice(
+            imgs_dev, (idx, t, l, 0), (1, crop, crop, 3)
+        )[0]
+        patch = jnp.where(jax.random.bernoulli(k4), patch[::-1], patch)
+        patch = jnp.where(jax.random.bernoulli(k5), patch[:, ::-1], patch)
+        return patch
+
+    def sample_batch(key):
+        return jax.vmap(sample_one)(jax.random.split(key, batch))
+
+    return sample_batch
 
 
 def main():
@@ -65,6 +77,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--init_from", default="",
                     help="warm-start params npz (e.g. the previous λ point)")
+    ap.add_argument("--scan_steps", type=int, default=8,
+                    help="optimizer steps fused per device dispatch")
     args = ap.parse_args()
 
     from lic_tpu.utils.cache import enable_compilation_cache
@@ -80,8 +94,9 @@ def main():
     from lic_tpu.utils.checkpoint import load_params, save_params
 
     os.makedirs(args.out, exist_ok=True)
-    imgs = [load_image_uint8(p) for p in TRAIN_IMAGES]
-    batches = crop_batches(imgs, args.batch, args.crop, args.seed)
+    imgs = np.stack([load_image_uint8(p) for p in TRAIN_IMAGES])
+    imgs_dev = jnp.asarray(imgs.astype(np.float32) / 127.5 - 1.0)
+    sample_batch = device_sampler(imgs_dev, args.batch, args.crop)
 
     model = build_model(args.preset)
     # milestones in step space: reference halves at 30/50/70/80% of the run
@@ -95,23 +110,38 @@ def main():
         seed=args.seed,
     )
     opt = make_optimizer(tc, steps_per_epoch=spe)
-    x0 = jnp.asarray(next(batches))
+    x0 = sample_batch(jax.random.PRNGKey(args.seed + 777))
     state = create_state(model, opt, x0, seed=args.seed)
     if args.init_from:
         params = load_params(args.init_from, state.params)
         state = state.replace(params=params)
-    step_fn = jax.jit(make_train_step(model, tc, opt), donate_argnums=(0,))
+
+    # The tunneled device adds ~0.5 s RTT per dispatch; scan K optimizer
+    # steps inside ONE jitted call (with on-device batch sampling) so
+    # dispatch latency amortizes K-fold and no batch data crosses the wire.
+    K = args.scan_steps
+    inner = make_train_step(model, tc, opt)
+    data_key = jax.random.PRNGKey(args.seed + 4242)
+
+    @jax.jit
+    def multi_step(state, call_idx):
+        def body(st, j):
+            batch = sample_batch(jax.random.fold_in(data_key, call_idx * K + j))
+            st, m = inner(st, batch)
+            return st, (m["loss"], m["bpp"], m["mse"], m["aux"])
+        state, ms = jax.lax.scan(body, state, jnp.arange(K))
+        return state, jax.tree.map(lambda a: a[-1], ms)
 
     t0 = time.time()
-    log_every = max(args.steps // 40, 1)
-    for i in range(args.steps):
-        batch = jnp.asarray(next(batches))
-        state, metrics = step_fn(state, batch)
-        if i % log_every == 0 or i == args.steps - 1:
-            loss = float(metrics["loss"])
+    n_calls = args.steps // K
+    log_every = max(n_calls // 40, 1)
+    for i in range(n_calls):
+        state, (loss, bpp, mse, aux) = multi_step(state, jnp.asarray(i))
+        if i % log_every == 0 or i == n_calls - 1:
+            loss = float(loss)
             line = (
-                f"step {i:6d}  loss {loss:9.4f}  bpp {float(metrics['bpp']):7.4f}"
-                f"  mse {float(metrics['mse']):.6f}  aux {float(metrics['aux']):9.2f}"
+                f"step {(i+1)*K:6d}  loss {loss:9.4f}  bpp {float(bpp):7.4f}"
+                f"  mse {float(mse):.6f}  aux {float(aux):9.2f}"
                 f"  {time.time()-t0:7.1f}s"
             )
             print(line, flush=True)
