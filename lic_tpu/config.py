@@ -29,6 +29,8 @@ class CodecConfig:
     #   'plain'     — GDN conv stack            (model/net.py:91-148)
     #   'plain_wam' — plain + Win_noShift gates (source_net_WAM.py:252-306)
     #   'rich'      — ResidualBottleneck/RBS + WAM (net_unet_ha_hs.py:197-326)
+    #   'rbs'       — g_s = working synthesisTransformModel_RBS assembly
+    #                 (Net_unet.py:371-419; broken+unused in ref), g_a = rich
     transform: str = "plain"
 
     # hyper path:

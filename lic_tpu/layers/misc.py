@@ -257,3 +257,81 @@ class UnetHaHs(nn.Module):
         )
         u2 = jnp.concatenate([u2, x], axis=-1)
         return ConvTranspose2d(self.out_channels, 1, 1, 0, 0, name="up4")(u2)
+
+
+class UnetHa(nn.Module):
+    """Dormant split-U-Net hyper *encoder* ``Unet_ha``
+    (``model/Block_unet.py:669-726``): SpatialTransformer halves + 1x1 conv
+    halves, two stride-2 downsamples, RB-ST-RB middle.  Returns
+    ``(z, middle, skip1, inp)`` — the decoder-side skip tensors, exactly the
+    reference's 4-tuple (``Block_unet.py:723-726``)."""
+
+    in_channels: int = 192
+    num_heads: int = 8
+    depth: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        nh, dep = self.num_heads, self.depth
+        half = self.in_channels // 2
+        # reference split order: (trans, conv) — Block_unet.py:708
+        t1 = SpatialTransformer(half, nh, max(96 // nh, 1), dep, name="st1")(
+            x[..., :half]
+        )
+        c1 = Conv2d(half, kernel_size=1, name="conv1")(x[..., half:])
+        d1 = nn.relu(
+            Conv2d(256, kernel_size=3, stride=2, padding=1, name="down1")(
+                jnp.concatenate([c1, t1], axis=-1)
+            )
+        )
+        c2 = Conv2d(128, kernel_size=1, name="conv2")(d1[..., :128])
+        t2 = SpatialTransformer(128, nh, 128 // nh, dep, name="st2")(
+            d1[..., 128:]
+        )
+        d2 = nn.relu(
+            Conv2d(512, kernel_size=3, stride=2, padding=1, name="down2")(
+                jnp.concatenate([c2, t2], axis=-1)
+            )
+        )
+        m = ResidualBottleneck(512, name="mid0")(d2)
+        m = SpatialTransformer(512, nh, 512 // nh, dep, name="mid_st")(m)
+        m = ResidualBottleneck(512, name="mid1")(m)
+        return m, m, d1, x
+
+
+class UnetHs(nn.Module):
+    """Dormant split-U-Net hyper *decoder* ``Unet_hs``
+    (``model/Block_unet.py:729-770``): consumes the ``UnetHa`` 4-tuple,
+    two deconv5-s2 upsamples with skip concatenations."""
+
+    out_channels: int = 320
+    num_heads: int = 8
+    depth: int = 3
+
+    @nn.compact
+    def __call__(self, z, middle, skip1, inp):
+        nh, dep = self.num_heads, self.depth
+        # split order (trans, conv) — Block_unet.py:757
+        t3 = SpatialTransformer(256, nh, 256 // nh, dep, name="st3")(
+            middle[..., :256]
+        )
+        c3 = ConvTranspose2d(256, 1, 1, 0, 0, name="conv3")(middle[..., 256:])
+        u1 = nn.relu(
+            ConvTranspose2d(256, 5, 2, 2, 1, name="up1")(
+                jnp.concatenate([c3, t3], axis=-1)
+            )
+        )
+        u1 = jnp.concatenate([u1, skip1], axis=-1)
+        u1 = nn.relu(ConvTranspose2d(256, 1, 1, 0, 0, name="up3")(u1))
+        # split order (conv, trans) — Block_unet.py:764
+        c4 = ConvTranspose2d(128, 1, 1, 0, 0, name="conv4")(u1[..., :128])
+        t4 = SpatialTransformer(128, nh, 128 // nh, dep, name="st4")(
+            u1[..., 128:]
+        )
+        u2 = nn.relu(
+            ConvTranspose2d(320, 5, 2, 2, 1, name="up2")(
+                jnp.concatenate([c4, t4], axis=-1)
+            )
+        )
+        u2 = jnp.concatenate([u2, inp], axis=-1)
+        return ConvTranspose2d(self.out_channels, 1, 1, 0, 0, name="up4")(u2)

@@ -92,7 +92,10 @@ class CodecModel(nn.Module):
         cfg = self.cfg
         N, M = cfg.N, cfg.M
 
-        self.g_a = AnalysisTransform(N, cfg.transform)
+        # 'rbs' is a g_s-only family (synthesisTransformModel_RBS,
+        # Net_unet.py:371-419); the analysis side stays 'rich'.
+        ga_variant = "rich" if cfg.transform == "rbs" else cfg.transform
+        self.g_a = AnalysisTransform(N, ga_variant)
         gs_out = M if (cfg.syntax != "none" and cfg.syntax_decoder) else 3
         self.g_s = SynthesisTransform(N, gs_out, cfg.transform)
 

@@ -23,6 +23,7 @@ from ..layers import (
     GDN,
     Conv2d,
     ConvTranspose2d,
+    ResidualBlockUpsample,
     ResidualBlockWithStride,
     ResidualBottleneck,
     WinNoShiftAttention,
@@ -101,7 +102,7 @@ class SynthesisTransform(nn.Module):
 
     N: int
     out_channels: int
-    variant: str = "plain"  # 'plain' | 'plain_wam' | 'rich'
+    variant: str = "plain"  # 'plain' | 'plain_wam' | 'rich' | 'rbs'
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -127,6 +128,9 @@ class SynthesisTransform(nn.Module):
             x = GDN(filters[3], inverse=True, name="igdn3")(x)
             return x
 
+        if self.variant == "rbs":
+            return _rbs_body(self, x, filters)
+
         assert self.variant == "rich"
         # net_unet_ha_hs.py:287-326: WAM(ws4,ss2) in, WAM(ws8,ss2) mid
         x = WinNoShiftAttention(x.shape[-1], 8, 4, 2, name="wam0")(x)
@@ -140,3 +144,34 @@ class SynthesisTransform(nn.Module):
         x = _Up5(filters[3], name="up3")(x)
         x = GDN(filters[3], inverse=True, name="igdn3")(x)
         return x
+
+
+def _rbs_body(m: nn.Module, x: jax.Array, filters: Sequence[int]) -> jax.Array:
+    """Working assembly of ``synthesisTransformModel_RBS``
+    (``model/Net_unet.py:371-419`` — broken in the reference: its
+    ``__init__`` calls ``super(synthesisTransformModel, ...)`` and it is
+    never instantiated).  Topology as written: WAM gate → three
+    ResidualBottleneck triplets at each scale, CompressAI-style
+    ResidualBlockUpsample for ×2 stages, IGDN activations, padded deconv5
+    tail.  As written the class only upsamples ×8; the reference's
+    commented-out second ``ResidualBlockUpsample`` (``Net_unet.py:392``)
+    is restored here so the g_s spatial contract (×16) holds.
+    """
+    f0, f1, f2, f3 = filters
+    x = WinNoShiftAttention(x.shape[-1], 8, 4, 2, name="rbs_wam0")(x)
+    x = ResidualBlockUpsample(f0, 2, name="rbs_up0")(x)
+    for i in range(3):
+        x = ResidualBottleneck(f0, name=f"rbs_rb0_{i}")(x)
+    x = GDN(f0, inverse=True, name="rbs_igdn0")(x)
+    x = ResidualBlockUpsample(f1, 2, name="rbs_up1")(x)
+    x = GDN(f1, inverse=True, name="rbs_igdn1")(x)
+    x = WinNoShiftAttention(f1, 8, 8, 2, name="rbs_wam1")(x)
+    for i in range(3):
+        x = ResidualBottleneck(f1, name=f"rbs_rb1_{i}")(x)
+    x = ResidualBlockUpsample(f2, 2, name="rbs_up2")(x)
+    x = GDN(f2, inverse=True, name="rbs_igdn2")(x)
+    for i in range(3):
+        x = ResidualBottleneck(f2, name=f"rbs_rb2_{i}")(x)
+    x = _Up5(f3, name="rbs_up3")(x)
+    x = GDN(f3, inverse=True, name="rbs_igdn3")(x)
+    return x

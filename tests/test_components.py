@@ -153,6 +153,31 @@ class TestMiscLayers:
         y, _ = m.init_with_output(jax.random.PRNGKey(0), x)
         assert y.shape == (1, 4, 4, 16)
 
+    def test_unet_ha_hs_split_pair(self):
+        """Dormant spatial Unet_ha/Unet_hs pair (Block_unet.py:669-770):
+        encoder 4-tuple feeds decoder; /4 middle, x20-ch output contract."""
+        from lic_tpu.layers.misc import UnetHa, UnetHs
+
+        ha = UnetHa(in_channels=192, num_heads=8, depth=1)
+        x = jnp.zeros((1, 16, 16, 192))
+        (z, mid, skip1, inp), _ = ha.init_with_output(jax.random.PRNGKey(0), x)
+        assert z.shape == (1, 4, 4, 512) and mid.shape == z.shape
+        assert skip1.shape == (1, 8, 8, 256) and inp.shape == x.shape
+
+        hs = UnetHs(out_channels=320, num_heads=8, depth=1)
+        y, _ = hs.init_with_output(jax.random.PRNGKey(1), z, mid, skip1, inp)
+        assert y.shape == (1, 16, 16, 320)
+
+    def test_rbs_synthesis_transform(self):
+        """Working synthesisTransformModel_RBS assembly (Net_unet.py:371-419,
+        broken+never instantiated in the ref): x16 upsample, M out."""
+        from lic_tpu.models.transforms import SynthesisTransform
+
+        m = SynthesisTransform(N=32, out_channels=16, variant="rbs")
+        x = jnp.zeros((1, 4, 4, 32))
+        y, _ = m.init_with_output(jax.random.PRNGKey(0), x)
+        assert y.shape == (1, 64, 64, 16)
+
 
 class TestTritPlane:
     def test_balanced_ternary_roundtrip(self):
