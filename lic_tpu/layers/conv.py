@@ -66,6 +66,49 @@ def set_s2d_conv(enabled: bool) -> None:
     _S2D_CONV = bool(enabled)
 
 
+# Global switch: lower wide-channel 5×5/stride-2 convs through the Pallas
+# MXU kernel (layers/pallas_conv.py).  Forward = Pallas; backward = XLA's
+# strided-conv VJP via jax.custom_vjp, so the path is trainable.  Gated to
+# C_in ≥ 128 — below that the polyphase K-padding wastes more MXU time
+# than XLA's own lowering (docs/PERF.md, layer-1 row).
+_PALLAS_CONV = False
+_PALLAS_INTERPRET = False  # tests: run the kernel interpreted on CPU
+
+
+def set_pallas_conv(enabled: bool, interpret: bool = False) -> None:
+    global _PALLAS_CONV, _PALLAS_INTERPRET
+    _PALLAS_CONV = bool(enabled)
+    _PALLAS_INTERPRET = bool(interpret)
+
+
+def _xla_conv5s2(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    return lax.conv_general_dilated(
+        x, kernel, window_strides=(2, 2),
+        padding=((1, 2), (1, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@jax.custom_vjp
+def _conv5s2_fast(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    from .pallas_conv import conv5s2_pallas
+
+    return conv5s2_pallas(x, kernel, interpret=_PALLAS_INTERPRET)
+
+
+def _conv5s2_fast_fwd(x, kernel):
+    return _conv5s2_fast(x, kernel), (x, kernel)
+
+
+def _conv5s2_fast_bwd(res, g):
+    x, kernel = res
+    _, vjp = jax.vjp(_xla_conv5s2, x, kernel)
+    return vjp(g)
+
+
+_conv5s2_fast.defvjp(_conv5s2_fast_fwd, _conv5s2_fast_bwd)
+
+
 class Conv2d(nn.Module):
     """NHWC conv with torch-style explicit padding.
 
@@ -92,6 +135,16 @@ class Conv2d(nn.Module):
         )
         dtype = self.dtype or x.dtype
         if (
+            _PALLAS_CONV
+            and k == 5
+            and self.stride == 2
+            and self.padding == (1, 2, 1, 2)
+            and x.shape[-1] >= 128
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            y = _conv5s2_fast(x.astype(dtype), kernel.astype(dtype))
+        elif (
             _S2D_CONV
             and k == 5
             and self.stride == 2

@@ -11,20 +11,18 @@ Design here:
 
 * the input is polyphase-split ONCE in XLA (pad to the (2,2)-aligned grid,
   reshape+transpose → (B, 2, 2, H/2+2, W/2+2, C) — one cheap layout pass);
-* the kernel walks output row-blocks; per block it DMAs the 4 phase tiles
-  into VMEM and accumulates the 25 taps as MXU matmuls in fp32 — each tap
-  is a *contiguous* slice of a phase tile (tap (a, b) ↦ phase
-  ((a+1)%2, (b+1)%2) at offset ((a+1)//2, (b+1)//2), the s2d alignment);
-* no HBM round-trips between taps; out rides the BlockSpec pipeline.
+* the kernel walks output row-blocks with a DOUBLE-BUFFERED manual DMA
+  pipeline: while block g computes, block g+1's four phase tiles stream
+  HBM→VMEM (slot = g mod 2), so the tap matmuls never wait on memory;
+* per phase tile the W-offset variants (jw ∈ {0,1,2}) are hoisted into at
+  most one sublane ``pltpu.roll`` each (10 shifts/block total) — the 25
+  taps then read *aligned* slices, so no per-tap relayout;
+* the 25 taps accumulate as MXU matmuls in fp32 — tap (a, b) reads phase
+  ((a+1)%2, (b+1)%2) at offset ((a+1)//2, (b+1)//2), the s2d alignment;
+* out rides the BlockSpec pipeline.
 
 Semantics match ``Conv2d(k=5, s=2, padding=(1,2,1,2))`` — the reference's
 ``ZeroPad2d((1,2,1,2)) + Conv2d(5,2,0)`` (``model/net.py:97-98``).
-
-STATUS: correct (tested), but this first cut measures ~12 ms vs XLA's
-7.2 ms on the layer-2 shape — the single-buffered DMA serializes against
-compute and the per-tap value slices relayout.  Kept OFF the default path
-(XLA strided conv remains it) as the base for a double-buffered /
-relayout-free iteration; see docs/PERF.md for the measured table.
 """
 
 from __future__ import annotations
@@ -47,36 +45,62 @@ def _pick_th(h_out: int) -> int:
 
 
 def _conv5s2_kernel(
-    ph_hbm, w_ref, out_ref, xt, sems, *, th, wo, cin_p, cout
+    ph_hbm, w_ref, out_ref, xt, sems, *, th, wo, cin_p, cout, nb, total
 ):
     bi = pl.program_id(0)
     i = pl.program_id(1)
+    g = bi * nb + i
 
-    # fetch the 4 phase tiles for this output row block (parallel DMAs)
-    cps = []
-    for r in range(2):
-        for c in range(2):
-            cp = pltpu.make_async_copy(
-                ph_hbm.at[bi, r, c, pl.ds(i * th, th + 2)],
-                xt.at[r * 2 + c],
-                sems.at[r * 2 + c],
+    def dmas(slot, img, blk):
+        return [
+            pltpu.make_async_copy(
+                ph_hbm.at[img, r, c, pl.ds(blk * th, th + 2)],
+                xt.at[slot, r * 2 + c],
+                sems.at[slot, r * 2 + c],
             )
+            for r in range(2)
+            for c in range(2)
+        ]
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        for cp in dmas(0, 0, 0):
             cp.start()
-            cps.append(cp)
-    for cp in cps:
+
+    # prefetch the next block's tiles into the other slot
+    @pl.when(g + 1 < total)
+    def _():
+        ng = g + 1
+        for cp in dmas(jax.lax.rem(ng, 2), ng // nb, jax.lax.rem(ng, nb)):
+            cp.start()
+
+    for cp in dmas(slot, bi, i):
         cp.wait()
 
     acc = jnp.zeros((th * wo, cout), jnp.float32)
-    for a in range(5):
-        rh, jh = (a + 1) % 2, (a + 1) // 2
-        for b in range(5):
-            rw, jw = (b + 1) % 2, (b + 1) // 2
-            sl = xt[rh * 2 + rw, jh : jh + th, jw : jw + wo, :]
-            acc = acc + jnp.dot(
-                sl.reshape(th * wo, cin_p),
-                w_ref[a * 5 + b],
-                preferred_element_type=jnp.float32,
-            )
+    for rh in range(2):
+        a_list = [a for a in range(5) if (a + 1) % 2 == rh]
+        for rw in range(2):
+            b_list = [b for b in range(5) if (b + 1) % 2 == rw]
+            tile = xt[slot, rh * 2 + rw]
+            for b_tap in b_list:
+                jw = (b_tap + 1) // 2
+                # ONE misaligned sublane slice per (phase, jw) — Mosaic
+                # lowers it to a single vector-shift relayout; the per-a
+                # slices below are on the untiled H dim and cost nothing.
+                # (pltpu.roll would be the natural op but bf16 rotate is
+                # unimplemented in Mosaic.)
+                v = tile[:, jw : jw + wo, :]
+                for a_tap in a_list:
+                    jh = (a_tap + 1) // 2
+                    sl = v[jh : jh + th]
+                    acc = acc + jnp.dot(
+                        sl.reshape(th * wo, cin_p),
+                        w_ref[a_tap * 5 + b_tap],
+                        preferred_element_type=jnp.float32,
+                    )
     out_ref[...] = acc.reshape(1, th, wo, cout).astype(out_ref.dtype)
 
 
@@ -118,11 +142,13 @@ def conv5s2_pallas(
     wk = jnp.zeros((25, cin_p, cout), x.dtype)
     wk = wk.at[:, :cin, :].set(kernel.reshape(25, cin, cout).astype(x.dtype))
 
+    nb = ho // th
     out = pl.pallas_call(
         functools.partial(
-            _conv5s2_kernel, th=th, wo=wo, cin_p=cin_p, cout=cout
+            _conv5s2_kernel,
+            th=th, wo=wo, cin_p=cin_p, cout=cout, nb=nb, total=b * nb,
         ),
-        grid=(b, ho // th),
+        grid=(b, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # phases stay in HBM
             pl.BlockSpec(
@@ -138,8 +164,8 @@ def conv5s2_pallas(
             (b, ho, wo, cout), out_dtype or x.dtype
         ),
         scratch_shapes=[
-            pltpu.VMEM((4, th + 2, wp2, cin_p), x.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, 4, th + 2, wp2, cin_p), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
         interpret=interpret,
     )(phases, wk)

@@ -33,34 +33,65 @@ EVAL_IMAGE = (
 )
 
 
-def device_sampler(imgs_dev, batch, crop):
-    """On-device random crop + flip sampler.
+def build_aug_pool(paths, n_crops, crop, seed):
+    """Host-side augmented crop pool: multi-scale (0.55–1.0 LANCZOS
+    downscales), 90° rotations, flips and mild brightness/contrast jitter
+    over the training photographs → uint8 (N, crop, crop, 3).
 
-    The tunneled TPU adds ~0.5 s RTT and ~limited bandwidth per dispatch;
-    shipping (K·B, 256², 3) host crops dominated the step time.  Instead
-    the (few, small) training images live on device and each step carves
-    its batch with dynamic_slice + flips inside the jitted graph — zero
-    per-step host→device payload.
+    With only two training photos, a plain random-crop sampler lets the
+    entropy model memorize their local statistics (train bpp 0.6 vs
+    held-out 1.5 observed at λ=0.0067); scale/rotation diversity is the
+    standard LIC regularizer for tiny corpora.
+    """
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    scales = np.linspace(0.55, 1.0, 10)
+    pyramid = []
+    for p in paths:
+        im = Image.open(p).convert("RGB")
+        w, h = im.size
+        for s in scales:
+            nw, nh = max(int(w * s), crop), max(int(h * s), crop)
+            pyramid.append(np.asarray(im.resize((nw, nh), Image.LANCZOS)))
+    pool = np.empty((n_crops, crop, crop, 3), np.uint8)
+    for i in range(n_crops):
+        src = pyramid[rng.integers(len(pyramid))]
+        t = rng.integers(src.shape[0] - crop + 1)
+        l = rng.integers(src.shape[1] - crop + 1)
+        c = src[t : t + crop, l : l + crop]
+        c = np.rot90(c, rng.integers(4))
+        if rng.integers(2):
+            c = c[:, ::-1]
+        a = rng.uniform(0.9, 1.1)
+        b = rng.uniform(-10, 10)
+        pool[i] = np.clip(c.astype(np.float32) * a + b, 0, 255).astype(np.uint8)
+    return pool
+
+
+def make_sampler(batch):
+    """On-device batch sampler over the uint8 augmented pool.
+
+    The tunneled TPU adds ~0.5 s RTT and limited bandwidth per dispatch;
+    shipping host crops dominated the step time.  The pool is uploaded
+    once (uint8), each step gathers a random batch + fresh flips inside
+    the jitted graph — zero per-step host→device payload.  The pool is an
+    explicit ARGUMENT (not a closure capture): closed-over device arrays
+    are baked into the HLO as constants and blow the remote-compile
+    request past its size limit.
     """
     import jax
     import jax.numpy as jnp
 
-    n, ih, iw, _ = imgs_dev.shape
-
-    def sample_one(key):
-        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-        idx = jax.random.randint(k1, (), 0, n)
-        t = jax.random.randint(k2, (), 0, ih - crop + 1)
-        l = jax.random.randint(k3, (), 0, iw - crop + 1)
-        patch = jax.lax.dynamic_slice(
-            imgs_dev, (idx, t, l, 0), (1, crop, crop, 3)
-        )[0]
-        patch = jnp.where(jax.random.bernoulli(k4), patch[::-1], patch)
-        patch = jnp.where(jax.random.bernoulli(k5), patch[:, ::-1], patch)
-        return patch
-
-    def sample_batch(key):
-        return jax.vmap(sample_one)(jax.random.split(key, batch))
+    def sample_batch(pool, key):
+        k1, k4, k5 = jax.random.split(key, 3)
+        idx = jax.random.randint(k1, (batch,), 0, pool.shape[0])
+        x = pool[idx].astype(jnp.float32) / 127.5 - 1.0
+        fv = jax.random.bernoulli(k4, shape=(batch,))[:, None, None, None]
+        fh = jax.random.bernoulli(k5, shape=(batch,))[:, None, None, None]
+        x = jnp.where(fv, x[:, ::-1], x)
+        x = jnp.where(fh, x[:, :, ::-1], x)
+        return x
 
     return sample_batch
 
@@ -77,6 +108,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--init_from", default="",
                     help="warm-start params npz (e.g. the previous λ point)")
+    ap.add_argument("--pool_size", type=int, default=2048,
+                    help="augmented crop pool size (uint8, device-resident)")
     ap.add_argument("--scan_steps", type=int, default=8,
                     help="optimizer steps fused per device dispatch")
     args = ap.parse_args()
@@ -94,9 +127,11 @@ def main():
     from lic_tpu.utils.checkpoint import load_params, save_params
 
     os.makedirs(args.out, exist_ok=True)
-    imgs = np.stack([load_image_uint8(p) for p in TRAIN_IMAGES])
-    imgs_dev = jnp.asarray(imgs.astype(np.float32) / 127.5 - 1.0)
-    sample_batch = device_sampler(imgs_dev, args.batch, args.crop)
+    pool = build_aug_pool(
+        TRAIN_IMAGES, args.pool_size, args.crop, seed=args.seed + 99
+    )
+    pool_dev = jnp.asarray(pool)
+    sample_batch = make_sampler(args.batch)
 
     model = build_model(args.preset)
     # milestones in step space: reference halves at 30/50/70/80% of the run
@@ -110,7 +145,7 @@ def main():
         seed=args.seed,
     )
     opt = make_optimizer(tc, steps_per_epoch=spe)
-    x0 = sample_batch(jax.random.PRNGKey(args.seed + 777))
+    x0 = sample_batch(pool_dev, jax.random.PRNGKey(args.seed + 777))
     state = create_state(model, opt, x0, seed=args.seed)
     if args.init_from:
         params = load_params(args.init_from, state.params)
@@ -124,9 +159,9 @@ def main():
     data_key = jax.random.PRNGKey(args.seed + 4242)
 
     @jax.jit
-    def multi_step(state, call_idx):
+    def multi_step(state, pool, call_idx):
         def body(st, j):
-            batch = sample_batch(jax.random.fold_in(data_key, call_idx * K + j))
+            batch = sample_batch(pool, jax.random.fold_in(data_key, call_idx * K + j))
             st, m = inner(st, batch)
             return st, (m["loss"], m["bpp"], m["mse"], m["aux"])
         state, ms = jax.lax.scan(body, state, jnp.arange(K))
@@ -136,7 +171,9 @@ def main():
     n_calls = args.steps // K
     log_every = max(n_calls // 40, 1)
     for i in range(n_calls):
-        state, (loss, bpp, mse, aux) = multi_step(state, jnp.asarray(i))
+        state, (loss, bpp, mse, aux) = multi_step(
+            state, pool_dev, jnp.asarray(i)
+        )
         if i % log_every == 0 or i == n_calls - 1:
             loss = float(loss)
             line = (
@@ -151,54 +188,61 @@ def main():
                 raise SystemExit("NaN loss")
     save_params(os.path.join(args.out, "params.npz"), state.params)
 
-    # ---------------- held-out eval ----------------
+    # ------------- eval: held-out image + train-set images -------------
     from lic_tpu.data.pad import pad_to_multiple
     from lic_tpu.training.loss import ms_ssim
-
-    img = load_image_uint8(EVAL_IMAGE).astype(np.float32) / 127.5 - 1.0
-    x = jnp.asarray(img[None])
-    xp, (h, w) = pad_to_multiple(x, 64)
 
     @jax.jit
     def fwd(params, xx):
         out = model.apply({"params": params}, xx, training=False)
         return out.x_tilde, out.bpp
 
-    x_tilde, bpp_est = fwd(state.params, xp)
-    x_tilde = x_tilde[:, :h, :w, :]
-    # 0..255-domain PSNR on rounded pixels (reference metric domain)
-    rec = np.clip((np.asarray(x_tilde) + 1) * 127.5, 0, 255).round()
-    ref = np.clip((np.asarray(x) + 1) * 127.5, 0, 255).round()
-    mse255 = float(np.mean((rec - ref) ** 2))
-    psnr = 10 * np.log10(255.0 ** 2 / mse255)
-    msssim = float(
-        ms_ssim(jnp.asarray(rec / 255.0), jnp.asarray(ref / 255.0),
-                data_range=1.0)
-    )
-    # padded-forward bpp is over padded pixels; renormalize to true pixels
-    bpp_est = float(bpp_est) * (xp.shape[1] * xp.shape[2]) / (h * w)
+    def eval_image(path, tag):
+        img = load_image_uint8(path).astype(np.float32) / 127.5 - 1.0
+        x = jnp.asarray(img[None])
+        xp, (h, w) = pad_to_multiple(x, 64)
+        x_tilde, bpp_est = fwd(state.params, xp)
+        x_tilde = x_tilde[:, :h, :w, :]
+        # 0..255-domain PSNR on rounded pixels (reference metric domain)
+        rec = np.clip((np.asarray(x_tilde) + 1) * 127.5, 0, 255).round()
+        ref = np.clip((np.asarray(x) + 1) * 127.5, 0, 255).round()
+        mse255 = float(np.mean((rec - ref) ** 2))
+        r = {
+            "image": tag,
+            "bpp_estimated": round(
+                # padded-forward bpp is over padded pixels; renormalize
+                float(bpp_est) * (xp.shape[1] * xp.shape[2]) / (h * w), 4
+            ),
+            "psnr_255": round(10 * np.log10(255.0 ** 2 / mse255), 3),
+            "msssim": round(float(
+                ms_ssim(jnp.asarray(rec / 255.0), jnp.asarray(ref / 255.0),
+                        data_range=1.0)
+            ), 5),
+        }
+        try:
+            from lic_tpu.models.compress import ChannelCoder
+
+            coder = ChannelCoder(model, state.params, name=args.preset)
+            blob = coder.compress(x)
+            r["bpp_real_bitstream"] = round(len(blob) * 8 / (h * w), 4)
+            rec2 = np.asarray(coder.decompress(blob))
+            rec2 = np.clip((rec2 + 1) * 127.5, 0, 255).round()
+            r["psnr_decoded"] = round(
+                10 * np.log10(
+                    255.0 ** 2 / float(np.mean((rec2 - ref) ** 2))
+                ), 3,
+            )
+        except ValueError as e:
+            r["bitstream"] = f"not decodable: {e}"
+        return r
 
     result = {
         "preset": args.preset, "lmbda": args.lmbda, "steps": args.steps,
-        "eval_image": "grace_hopper (held out)",
-        "bpp_estimated": round(bpp_est, 4),
-        "psnr_255": round(psnr, 3),
-        "msssim": round(msssim, 5),
+        "held_out": eval_image(EVAL_IMAGE, "grace_hopper (held out)"),
+        "train_set": [
+            eval_image(p, os.path.basename(p)) for p in TRAIN_IMAGES
+        ],
     }
-    try:
-        from lic_tpu.models.compress import ChannelCoder
-
-        coder = ChannelCoder(model, state.params, name=args.preset)
-        blob = coder.compress(x)
-        result["bpp_real_bitstream"] = round(len(blob) * 8 / (h * w), 4)
-        rec2 = np.asarray(coder.decompress(blob))
-        rec2 = np.clip((rec2 + 1) * 127.5, 0, 255).round()
-        result["psnr_decoded"] = round(
-            10 * np.log10(255.0 ** 2 / float(np.mean((rec2 - ref) ** 2))), 3
-        )
-    except ValueError as e:
-        result["bitstream"] = f"not decodable: {e}"
-
     print(json.dumps(result), flush=True)
     with open(os.path.join(args.out, "eval.json"), "w") as fd:
         json.dump(result, fd, indent=1)

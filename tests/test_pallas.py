@@ -135,6 +135,32 @@ class TestPallasConv5s2:
                 np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
             )
 
+    def test_conv2d_pallas_switch_forward_and_grad(self):
+        """Conv2d routes wide-channel conv5s2 through the Pallas kernel when
+        enabled; forward matches XLA and the custom-VJP backward matches the
+        XLA autodiff gradients (trainable path)."""
+        from lic_tpu.layers.conv import Conv2d, set_pallas_conv
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((1, 8, 16, 128)).astype(np.float32))
+        m = Conv2d(16, kernel_size=5, stride=2, padding=(1, 2, 1, 2))
+        params = m.init(jax.random.PRNGKey(0), x)
+
+        def loss(p, xx):
+            return jnp.sum(m.apply(p, xx) ** 2)
+
+        ref_l, ref_g = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+        set_pallas_conv(True, interpret=True)
+        try:
+            got_l, got_g = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+        finally:
+            set_pallas_conv(False)
+        np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(got_g), jax.tree.leaves(ref_g)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+            )
+
     def test_gradients_match(self):
         from jax import lax
 
