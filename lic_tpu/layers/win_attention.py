@@ -53,18 +53,37 @@ def relative_position_index(ws: int) -> np.ndarray:
     return rel.sum(-1)  # (ws², ws²)
 
 
-def swin_shift_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+def swin_shift_mask(
+    h: int, w: int, ws: int, shift: int, pad_b: int = 0, pad_r: int = 0
+) -> np.ndarray:
     """SW-MSA additive mask (nW, ws², ws²), 0 / -100 like the reference
-    (``layers/win_attention.py:160-179``).  Static — built in numpy."""
-    img_mask = np.zeros((1, h, w, 1), np.float32)
-    h_slices = (slice(0, -ws), slice(-ws, -shift), slice(-shift, None))
-    w_slices = (slice(0, -ws), slice(-ws, -shift), slice(-shift, None))
-    cnt = 0
-    for hs in h_slices:
-        for wsl in w_slices:
-            img_mask[:, hs, wsl, :] = cnt
-            cnt += 1
-    m = img_mask.reshape(1, h // ws, ws, w // ws, ws, 1)
+    (``layers/win_attention.py:160-179``).  Static — built in numpy.
+
+    ``pad_b``/``pad_r`` extend the canvas to (h+pad_b, w+pad_r) — must be
+    window multiples — and give the pad tokens a unique region id, so real
+    tokens never attend to padding (the reference only ever sees
+    window-multiple shapes; this extends the domain without changing the
+    divisible-shape behavior)."""
+    hp, wp = h + pad_b, w + pad_r
+    img_mask = np.zeros((1, hp, wp, 1), np.float32)
+    if shift > 0:
+        h_slices = (slice(0, -ws), slice(-ws, -shift), slice(-shift, None))
+        w_slices = (slice(0, -ws), slice(-ws, -shift), slice(-shift, None))
+        cnt = 0
+        for hs in h_slices:
+            for wsl in w_slices:
+                img_mask[:, hs, wsl, :] = cnt
+                cnt += 1
+    if pad_b or pad_r:
+        # pad flag lives on the UNROLLED canvas; the shift-region ids above
+        # are already in post-roll coordinates, so roll the flag to match.
+        pad = np.zeros((1, hp, wp, 1), np.float32)
+        pad[:, h:, :, :] = 1.0
+        pad[:, :, w:, :] = 1.0
+        if shift > 0:
+            pad = np.roll(pad, (-shift, -shift), axis=(1, 2))
+        img_mask = img_mask + 100.0 * pad
+    m = img_mask.reshape(1, hp // ws, ws, wp // ws, ws, 1)
     m = m.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
     diff = m[:, None, :] - m[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
@@ -143,20 +162,30 @@ class WinBasedAttention(nn.Module):
         assert 0 <= ss < ws, "shift_size must be in [0, window_size)"
         shortcut = x
 
-        if ss > 0:
-            mask = jnp.asarray(swin_shift_mask(h, w, ws, ss))
-            x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
+        # Non-window-multiple (or sub-window) spatial dims: pad bottom/right
+        # to the window grid; pad tokens are masked out of every softmax and
+        # the output is cropped back, so divisible shapes are untouched.
+        pad_b, pad_r = (-h) % ws, (-w) % ws
+        hp, wp = h + pad_b, w + pad_r
+        if ss > 0 or pad_b or pad_r:
+            mask = jnp.asarray(swin_shift_mask(h, w, ws, ss, pad_b, pad_r))
         else:
             mask = None
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        if ss > 0:
+            x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
 
         windows = window_partition(x, ws)
         attn = WindowAttention(
             dim=c, window_size=ws, num_heads=self.num_heads, name="attn"
         )(windows, mask=mask)
-        x = window_reverse(attn, ws, h, w)
+        x = window_reverse(attn, ws, hp, wp)
 
         if ss > 0:
             x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
+        if pad_b or pad_r:
+            x = x[:, :h, :w]
         return shortcut + x
 
 

@@ -1,0 +1,47 @@
+"""Assemble the README RD table from rd_runs/*/eval.json + JPEG anchor.
+
+Usage: python scripts/rd_table.py [rd_runs_dir]
+Prints a GitHub-markdown table (learned points sorted by bpp) and the
+JPEG anchor line for the same held-out image.
+"""
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+
+def main():
+    root = sys.argv[1] if len(sys.argv) > 1 else "rd_runs"
+    rows = []
+    for p in sorted(glob.glob(os.path.join(root, "*", "eval.json"))):
+        with open(p) as fd:
+            r = json.load(fd)
+        r["run"] = os.path.basename(os.path.dirname(p))
+        rows.append(r)
+    rows.sort(key=lambda r: r.get("bpp_real_bitstream", r["bpp_estimated"]))
+
+    print("| run | preset | λ | steps | bpp (real bitstream) | bpp (est.) | PSNR | MS-SSIM |")
+    print("|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['run']} | {r['preset']} | {r['lmbda']} | {r['steps']} "
+            f"| {r.get('bpp_real_bitstream', '—')} | {r['bpp_estimated']} "
+            f"| {r['psnr_255']} | {r['msssim']} |"
+        )
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "jpeg_anchor.py")],
+        capture_output=True, text=True,
+    )
+    if out.returncode == 0:
+        j = json.loads(out.stdout)
+        pts = ", ".join(
+            f"{p['bpp']} bpp → {p['psnr_255']} dB" for p in j["jpeg"]
+        )
+        print(f"\nJPEG anchor ({j['image']}): {pts}")
+
+
+if __name__ == "__main__":
+    main()
