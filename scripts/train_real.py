@@ -1,10 +1,13 @@
 """Real-image RD training + held-out evaluation.
 
-The image environment ships no Kodak/DIV2K; the only real photographs on
-disk are sklearn's china.jpg / flower.jpg (640x427) and matplotlib's
-grace_hopper.jpg (512x600).  This script trains on random crops of the
-first two and evaluates RD on the HELD-OUT third — honest real-image
-evidence within the environment's limits (stated as such in README).
+The image environment ships no Kodak/DIV2K.  The training corpus is every
+real-content image on disk (~29 sources): the sklearn photographs
+(china/flower), photographic material textures shipped with the robotics
+sims (wood, marble, skin, metal, grass, foil, dice), outdoor skyboxes,
+rendered 3-D scenes, and two screenshots/diagrams — diverse natural-image
+statistics within the environment's limits.  RD is evaluated on the
+HELD-OUT matplotlib grace_hopper.jpg (512x600) and stated as such in
+README.
 
 Usage:
     python scripts/train_real.py --preset source_net --lmbda 0.0067 \
@@ -23,9 +26,37 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+_SP = "/opt/venv/lib/python3.12/site-packages"
 TRAIN_IMAGES = [
-    "/opt/venv/lib/python3.12/site-packages/sklearn/datasets/images/china.jpg",
-    "/opt/venv/lib/python3.12/site-packages/sklearn/datasets/images/flower.jpg",
+    f"{_SP}/sklearn/datasets/images/china.jpg",
+    f"{_SP}/sklearn/datasets/images/flower.jpg",
+    f"{_SP}/gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/textures/wood1.png",
+    f"{_SP}/gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/textures/white_marble_tile2.png",
+    f"{_SP}/gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/textures/white_marble_tile.png",
+    f"{_SP}/gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/textures/tile1.png",
+    f"{_SP}/gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/textures/metal1.png",
+    f"{_SP}/gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/textures/marble1.png",
+    f"{_SP}/gymnasium_robotics/envs/assets/adroit_hand/resources/textures/skin.png",
+    f"{_SP}/gymnasium_robotics/envs/assets/adroit_hand/resources/textures/darkwood.png",
+    f"{_SP}/gymnasium_robotics/envs/assets/adroit_hand/resources/textures/marble.png",
+    f"{_SP}/gymnasium_robotics/envs/assets/adroit_hand/resources/textures/silverRaw.png",
+    f"{_SP}/gymnasium_robotics/envs/assets/adroit_hand/resources/textures/foil.png",
+    f"{_SP}/gymnasium_robotics/envs/assets/adroit_hand/resources/textures/dice.png",
+    f"{_SP}/dm_control/suite/dog_assets/skin_texture.png",
+    f"{_SP}/dm_control/suite/dog_assets/tennis_ball.png",
+    f"{_SP}/dm_control/locomotion/arenas/assets/outdoor_natural/OutdoorGrassFloorD.png",
+    f"{_SP}/dm_control/locomotion/arenas/assets/outdoor_natural/OutdoorSkybox2048.png",
+    f"{_SP}/dm_control/locomotion/gaps.png",
+    f"{_SP}/dm_control/locomotion/walls.png",
+    f"{_SP}/dm_control/locomotion/soccer/soccer.png",
+    f"{_SP}/dm_control/locomotion/soccer/assets/pitch/pitch_s.png",
+    f"{_SP}/labmaze/assets/sky_01/ft.png",
+    f"{_SP}/labmaze/assets/sky_02/ft.png",
+    f"{_SP}/labmaze/assets/style_05/floor_orange_d.png",
+    f"{_SP}/labmaze/assets/style_01/wall_green_d.png",
+    "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/pyparsing/docs/_static/pyparsingClassDiagram_3.0.9.jpg",
+    "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests/ext/ss.png",
+    f"{_SP}/dm_control/blender/mujoco_exporter/doc/ik_target.png",
 ]
 EVAL_IMAGE = (
     "/opt/venv/lib/python3.12/site-packages/matplotlib/mpl-data/"
@@ -108,7 +139,7 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--init_from", default="",
                     help="warm-start params npz (e.g. the previous λ point)")
-    ap.add_argument("--pool_size", type=int, default=2048,
+    ap.add_argument("--pool_size", type=int, default=6144,
                     help="augmented crop pool size (uint8, device-resident)")
     ap.add_argument("--scan_steps", type=int, default=8,
                     help="optimizer steps fused per device dispatch")

@@ -191,6 +191,62 @@ class TestWindowAttention:
         ours = swin_shift_mask(h, w, ws, ss)
         np.testing.assert_array_equal(ours, am.numpy())
 
+    def test_pad_tokens_are_masked_out(self):
+        """Non-window-multiple inputs: the layer pads to the window grid but
+        pad tokens must be invisible — the output over real tokens equals
+        brute-force attention restricted to the real tokens only."""
+        from lic_tpu.layers.win_attention import relative_position_index
+
+        ws, c, nh = 4, 8, 2
+        hd = c // nh
+        m = WinBasedAttention(dim=c, num_heads=nh, window_size=ws, shift_size=0)
+        rng = np.random.default_rng(7)
+        # single partial window: 3x2 real tokens inside the 4x4 grid
+        x = jnp.asarray(rng.standard_normal((1, 3, 2, c)).astype(np.float32))
+        params = jax.device_get(m.init(jax.random.PRNGKey(0), x))
+        # the residual proj kernel is zero-init — randomize it so the
+        # attention branch actually contributes (otherwise the test is vacuous)
+        params["params"]["attn"]["proj"]["kernel"] = (
+            rng.standard_normal((c, c)).astype(np.float32) * 0.3
+        )
+        y = np.asarray(m.apply(params, x))[0]
+
+        # ---- brute force over real tokens only ----
+        p = params["params"]["attn"]
+        tokens = np.asarray(x[0]).reshape(-1, c)          # 6 real tokens
+        # window positions of the real tokens in the padded 4x4 canvas
+        pos = np.array([i * ws + j for i in range(3) for j in range(2)])
+        qkv = tokens @ p["qkv"]["kernel"] + p["qkv"]["bias"]
+        qkv = qkv.reshape(-1, 3, nh, hd).transpose(1, 2, 0, 3)  # (3, nh, n, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q * hd ** -0.5) @ k.transpose(0, 2, 1)          # (nh, n, n)
+        bias = p["relative_position_bias_table"][
+            relative_position_index(ws)[np.ix_(pos, pos)]
+        ].transpose(2, 0, 1)
+        attn = attn + bias
+        attn = np.exp(attn - attn.max(-1, keepdims=True))
+        attn = attn / attn.sum(-1, keepdims=True)
+        out = (attn @ v).transpose(1, 0, 2).reshape(-1, c)
+        out = out @ p["proj"]["kernel"] + p["proj"]["bias"]
+        expect = tokens + out
+        np.testing.assert_allclose(
+            y.reshape(-1, c), expect, rtol=2e-5, atol=2e-5
+        )
+
+    def test_sub_window_shifted_shapes(self):
+        """Sub-window and non-multiple dims run (padded+masked) for both
+        shifted and unshifted blocks and preserve shape."""
+        for (h, w), ss in [((2, 2), 0), ((3, 6), 2), ((10, 2), 2)]:
+            m = WinBasedAttention(dim=8, num_heads=2, window_size=4, shift_size=ss)
+            x = jnp.asarray(
+                np.random.default_rng(1)
+                .standard_normal((1, h, w, 8))
+                .astype(np.float32)
+            )
+            y, _ = m.init_with_output(jax.random.PRNGKey(0), x)
+            assert y.shape == x.shape
+            assert np.isfinite(np.asarray(y)).all()
+
     def test_win_noshift_attention_shape(self):
         m = WinNoShiftAttention(dim=32, num_heads=8, window_size=4, shift_size=2)
         x = jnp.zeros((1, 16, 16, 32))
