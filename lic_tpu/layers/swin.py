@@ -35,6 +35,24 @@ def _wmsa_shift_mask(h_windows: int, w_windows: int, p: int, shift: int) -> np.n
     return np.where(m, -np.inf, 0.0).astype(np.float32)
 
 
+def _wmsa_pad_mask(
+    h: int, w: int, hp: int, wp: int, ws: int, shifted: bool
+) -> np.ndarray:
+    """Additive mask (nW, p², p²) hiding bottom/right pad tokens.
+
+    Pad↔real pairs are -inf; pad↔pad stays 0 so no softmax row is ever
+    all--inf (pad outputs are cropped anyway).  Static numpy."""
+    pad = np.zeros((hp, wp), dtype=bool)
+    pad[h:, :] = True
+    pad[:, w:] = True
+    if shifted:
+        pad = np.roll(pad, (-(ws // 2), -(ws // 2)), axis=(0, 1))
+    f = pad.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3)
+    f = f.reshape(-1, ws * ws)
+    xor = f[:, :, None] ^ f[:, None, :]
+    return np.where(xor, -np.inf, 0.0).astype(np.float32)
+
+
 def _wmsa_relative_index(ws: int) -> np.ndarray:
     """(p², p², 2) index into the (2w-1, 2w-1) relative-position table."""
     cord = np.array([[i, j] for i in range(ws) for j in range(ws)])
@@ -57,12 +75,19 @@ class WMSA(nn.Module):
         n_heads = self.input_dim // self.head_dim
         scale = self.head_dim ** -0.5
         b, h, w, c = x.shape
-        assert h % ws == 0 and w % ws == 0, f"({h},{w}) not divisible by ws={ws}"
+        # Non-window-multiple (or sub-window) dims: pad bottom/right to the
+        # window grid; pad tokens are masked out of every softmax (pad↔pad
+        # attends so no row is all--inf) and the output is cropped back —
+        # divisible shapes keep the reference behavior exactly.
+        pad_b, pad_r = (-h) % ws, (-w) % ws
+        hp, wp = h + pad_b, w + pad_r
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
 
         if self.block_type != "W":
             x = jnp.roll(x, shift=(-(ws // 2), -(ws // 2)), axis=(1, 2))
 
-        hw_, ww_ = h // ws, w // ws
+        hw_, ww_ = hp // ws, wp // ws
         xw = x.reshape(b, hw_, ws, ww_, ws, c).transpose(0, 1, 3, 2, 4, 5)
         xw = xw.reshape(b, hw_ * ww_, ws * ws, c)
 
@@ -84,9 +109,14 @@ class WMSA(nn.Module):
         rel_emb = table[rel[..., 0], rel[..., 1]]  # (p², p², heads)
         sim = sim + rel_emb.transpose(2, 0, 1)[None, :, None].astype(sim.dtype)
 
+        mask_np = None
         if self.block_type != "W":
-            mask = jnp.asarray(_wmsa_shift_mask(hw_, ww_, ws, ws // 2))
-            sim = sim + mask[None, None].astype(sim.dtype)
+            mask_np = _wmsa_shift_mask(hw_, ww_, ws, ws // 2)
+        if pad_b or pad_r:
+            pm = _wmsa_pad_mask(h, w, hp, wp, ws, self.block_type != "W")
+            mask_np = pm if mask_np is None else mask_np + pm
+        if mask_np is not None:
+            sim = sim + jnp.asarray(mask_np)[None, None].astype(sim.dtype)
 
         probs = jax.nn.softmax(sim, axis=-1)
         out = jnp.einsum("bhwpq,bwqhc->bwphc", probs.astype(v.dtype), v)
@@ -97,9 +127,11 @@ class WMSA(nn.Module):
         )(out)
 
         out = out.reshape(b, hw_, ww_, ws, ws, self.output_dim)
-        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, self.output_dim)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, self.output_dim)
         if self.block_type != "W":
             out = jnp.roll(out, shift=(ws // 2, ws // 2), axis=(1, 2))
+        if pad_b or pad_r:
+            out = out[:, :h, :w]
         return out
 
 

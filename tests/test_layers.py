@@ -262,6 +262,37 @@ class TestSwin:
         y, _ = m.init_with_output(jax.random.PRNGKey(0), x)
         assert y.shape == x.shape
 
+    def test_wmsa_pad_tokens_invisible(self):
+        """Non-multiple widths: a fully-real window's output is unchanged
+        by the padded sibling window (W-MSA is window-local + pad-masked)."""
+        rng = np.random.default_rng(3)
+        m = WMSA(input_dim=16, output_dim=16, head_dim=8, window_size=4,
+                 block_type="W")
+        x = jnp.asarray(rng.standard_normal((1, 4, 6, 16)).astype(np.float32))
+        params = jax.device_get(m.init(jax.random.PRNGKey(0), x))
+        params["params"]["linear"]["kernel"] = (
+            rng.standard_normal((16, 16)).astype(np.float32) * 0.3
+        )
+        full = np.asarray(m.apply(params, x))
+        left = np.asarray(m.apply(params, x[:, :, :4]))
+        np.testing.assert_allclose(full[:, :, :4], left, rtol=1e-5, atol=1e-5)
+        assert np.isfinite(full).all()
+
+    def test_wmsa_sub_window_shifted(self):
+        """Sub-window latents (the 4x4 latent of a 64px crop vs ws=8) run
+        padded+masked through both W and SW blocks."""
+        for bt in ("W", "SW"):
+            m = WMSA(input_dim=16, output_dim=16, head_dim=8, window_size=8,
+                     block_type=bt)
+            x = jnp.asarray(
+                np.random.default_rng(5)
+                .standard_normal((2, 4, 4, 16))
+                .astype(np.float32)
+            )
+            y, _ = m.init_with_output(jax.random.PRNGKey(0), x)
+            assert y.shape == x.shape
+            assert np.isfinite(np.asarray(y)).all()
+
     def test_swatten_shape(self):
         # slice 2 of the ChARM loop: input 192 + 2*48 = 288 channels
         m = SWAtten(input_dim=288, output_dim=288, head_dim=16, window_size=8,
