@@ -18,17 +18,23 @@ def main():
     for p in sorted(glob.glob(os.path.join(root, "*", "eval.json"))):
         with open(p) as fd:
             r = json.load(fd)
-        r["run"] = os.path.basename(os.path.dirname(p))
-        rows.append(r)
-    rows.sort(key=lambda r: r.get("bpp_real_bitstream", r["bpp_estimated"]))
+        h = r.get("held_out", r)  # older runs stored held-out metrics flat
+        rows.append({
+            "run": os.path.basename(os.path.dirname(p)),
+            "preset": r["preset"], "lmbda": r["lmbda"], "steps": r["steps"],
+            "bpp_real": h.get("bpp_real_bitstream", "—"),
+            "bpp_est": h["bpp_estimated"],
+            "psnr": h["psnr_255"], "msssim": h["msssim"],
+        })
+    rows.sort(key=lambda r: r["bpp_est"])
 
     print("| run | preset | λ | steps | bpp (real bitstream) | bpp (est.) | PSNR | MS-SSIM |")
     print("|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(
             f"| {r['run']} | {r['preset']} | {r['lmbda']} | {r['steps']} "
-            f"| {r.get('bpp_real_bitstream', '—')} | {r['bpp_estimated']} "
-            f"| {r['psnr_255']} | {r['msssim']} |"
+            f"| {r['bpp_real']} | {r['bpp_est']} "
+            f"| {r['psnr']} | {r['msssim']} |"
         )
 
     out = subprocess.run(
