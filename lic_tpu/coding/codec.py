@@ -82,6 +82,20 @@ class GaussianCoder:
             symbols.astype(np.int32), self.scale_indexes(scales)
         )
 
+    def encode_indexed(self, symbols: np.ndarray, indexes: np.ndarray) -> bytes:
+        """Encode with pre-computed scale-table indexes (computed on device
+        so only small integer tensors cross the host link — the wire-
+        efficient path; the decoder must derive identical indexes)."""
+        return self.codec.encode(
+            symbols.astype(np.int32), indexes.astype(np.int32)
+        )
+
+    def decode_indexed(self, data: bytes, indexes: np.ndarray) -> np.ndarray:
+        """Decode to raw int32 symbols given pre-computed table indexes."""
+        return self.codec.decode(data, indexes.astype(np.int32)).reshape(
+            indexes.shape
+        )
+
     def decode(
         self, data: bytes, means: np.ndarray, scales: np.ndarray
     ) -> np.ndarray:
@@ -177,11 +191,17 @@ class FactorizedCoder:
             symbols.astype(np.int32), np.ascontiguousarray(indexes)
         )
 
-    def decode(self, data: bytes, shape: Tuple[int, ...]) -> np.ndarray:
+    def decode_symbols(self, data: bytes, shape: Tuple[int, ...]) -> np.ndarray:
+        """Decode to raw int32 symbols (medians not re-added)."""
         c = shape[-1]
         indexes = np.broadcast_to(np.arange(c, dtype=np.int32), shape)
-        symbols = self.codec.decode(data, np.ascontiguousarray(indexes))
-        return symbols.reshape(shape).astype(np.float32) + self.medians
+        return self.codec.decode(data, np.ascontiguousarray(indexes)).reshape(
+            shape
+        )
+
+    def decode(self, data: bytes, shape: Tuple[int, ...]) -> np.ndarray:
+        symbols = self.decode_symbols(data, shape)
+        return symbols.astype(np.float32) + self.medians
 
 
 class CodecCoder:

@@ -90,13 +90,30 @@ def _gather_patches(padded: np.ndarray, ps, qs, p_max: int) -> np.ndarray:
     return out
 
 
+_SYM_CLIP = 32000  # int16-safe symbol range (escape coding handles |s|>radius)
+
+
+def _dev_scale_idx(sigma: jax.Array, table: jax.Array) -> jax.Array:
+    """Scale-table index computed ON DEVICE (uint8) — semantics of
+    ``GaussianCoder.scale_indexes``.  Encoder and decoder both run this
+    identical jitted function on identical inputs, so the indexes agree
+    bit-for-bit; only 1-byte indexes cross the (slow) host link."""
+    s = jnp.maximum(sigma, table[0])
+    return jnp.clip(
+        jnp.searchsorted(table, s - 1e-9), 0, table.shape[0] - 1
+    ).astype(jnp.uint8)
+
+
 class ChannelCoder:
     """Owns the jitted sub-passes + rANS coders for one (model, params)."""
 
     def __init__(self, model: CodecModel, params: Any, name: str = ""):
         cfg = model.cfg
         self.model = model
-        self.params = params
+        # Pin params on device: checkpoint loaders return numpy leaves, and
+        # passing those to the jitted sub-passes re-uploads the full tree
+        # (~80 MB) on EVERY call — measured as the dominant codec cost.
+        self.params = params = jax.device_put(params)
         self.is_ns = cfg.family == "neural_syntax"
         self.name = name or f"{cfg.family}.{cfg.transform}.{cfg.hyper}.{cfg.context}"
         if self.is_ns:
@@ -125,28 +142,6 @@ class ChannelCoder:
         self.is_entro = model.cfg.context == "entroformer"
         if self.is_entro:
             self._entro = ap(CodecModel.entro_predict)
-        self._entropy_params = {}
-        self._lrp = {}
-        for i in range(0 if self.is_entro else model.cfg.num_slices):
-            self._entropy_params[i] = partial(
-                jax.jit(
-                    lambda p, m, s, sup, i=i: model.apply(
-                        {"params": p}, m, s, sup, i,
-                        method=CodecModel.charm_entropy_params,
-                    )
-                ),
-                params,
-            )
-            self._lrp[i] = partial(
-                jax.jit(
-                    lambda p, ms, yh, i=i: model.apply(
-                        {"params": p}, ms, yh, i,
-                        method=CodecModel.charm_apply_lrp,
-                    )
-                ),
-                params,
-            )
-
         medians = model.apply({"params": params}, method=CodecModel.eb_medians)
         pmf = model.apply(
             {"params": params}, -Z_RANGE, Z_RANGE - 1,
@@ -156,6 +151,63 @@ class ChannelCoder:
             np.asarray(pmf), np.asarray(medians), -Z_RANGE
         )
         self.y_coder = GaussianCoder()
+
+        # ---- wire-efficient step functions (device syms/indexes) ----
+        # The tunneled host link moves ~8 MB/s; fp32 μ/σ/latent fetches
+        # dominated the codec wall-clock.  These steps compute the integer
+        # symbols and the 1-byte scale-table indexes on device and rebuild
+        # y_hat on device from uploaded symbols — only int16/uint8 tensors
+        # cross the link (≈5× less traffic).
+        med = jnp.asarray(np.asarray(medians), jnp.float32)
+        tab = jnp.asarray(self.y_coder.scale_table, jnp.float32)
+
+        def z_enc_impl(p, z3):
+            z = model.apply({"params": p}, z3, method=CodecModel.hyper_encode)
+            sym = jnp.clip(jnp.round(z - med), -_SYM_CLIP, _SYM_CLIP)
+            return sym.astype(jnp.int16), sym + med
+
+        def z_dec_impl(p, sym16):
+            return sym16.astype(jnp.float32) + med
+
+        def eparams(p, m, s, sup, i):
+            return model.apply(
+                {"params": p}, m, s, sup, i,
+                method=CodecModel.charm_entropy_params,
+            )
+
+        def enc_step_impl(p, m, s, sup, y, i):
+            mu, sigma, mean_support = eparams(p, m, s, sup, i)
+            sym = jnp.clip(jnp.round(y - mu), -_SYM_CLIP, _SYM_CLIP)
+            y_hat = model.apply(
+                {"params": p}, mean_support, sym + mu, i,
+                method=CodecModel.charm_apply_lrp,
+            )
+            return sym.astype(jnp.int16), _dev_scale_idx(sigma, tab), y_hat
+
+        def dec_idx_impl(p, m, s, sup, i):
+            _, sigma, _ = eparams(p, m, s, sup, i)
+            return _dev_scale_idx(sigma, tab)
+
+        def dec_apply_impl(p, m, s, sup, sym16, i):
+            mu, _, mean_support = eparams(p, m, s, sup, i)
+            return model.apply(
+                {"params": p}, mean_support, sym16.astype(jnp.float32) + mu, i,
+                method=CodecModel.charm_apply_lrp,
+            )
+
+        self._z_enc = partial(jax.jit(z_enc_impl), params)
+        self._z_dec = partial(jax.jit(z_dec_impl), params)
+        self._enc_step, self._dec_idx, self._dec_apply = {}, {}, {}
+        for i in range(0 if self.is_entro else cfg.num_slices):
+            self._enc_step[i] = partial(
+                jax.jit(partial(enc_step_impl, i=i)), params
+            )
+            self._dec_idx[i] = partial(
+                jax.jit(partial(dec_idx_impl, i=i)), params
+            )
+            self._dec_apply[i] = partial(
+                jax.jit(partial(dec_apply_impl, i=i)), params
+            )
         # weights digest: crc32 of the quantized factorized-prior CDF tables
         # (a pure function of the trained params, already on host)
         self.digest = zlib.crc32(self.z_coder.codec.cdfs.tobytes()) & 0xFFFFFFFF
@@ -203,14 +255,11 @@ class ChannelCoder:
         z3 = self._analyze(x)
         # symbols are rounded ON DEVICE so they match the jitted forward's
         # ste_round bit-for-bit (host numpy fp32 can round differently at
-        # .5 boundaries); the decoder reconstructs z_hat/y_hat from the
-        # symbols on host exactly like the encoder below.
-        z_dev = self._hyper_encode(z3)
-        z_sym = np.asarray(
-            jnp.round(z_dev - jnp.asarray(self.z_coder.medians))
-        ).astype(np.int32)
-        z_blob = self.z_coder.encode_symbols(z_sym)
-        z_hat = jnp.asarray(z_sym.astype(np.float32) + self.z_coder.medians)
+        # .5 boundaries); the decoder reconstructs z_hat/y_hat from the same
+        # device functions, and only int16 symbols / uint8 scale indexes
+        # cross the host link (see _dev_scale_idx).
+        z_sym16, z_hat = self._z_enc(z3)
+        z_blob = self.z_coder.encode_symbols(np.asarray(z_sym16))
         scales, means = self._hyper_decode(z_hat)
 
         if cfg.syntax != "none":
@@ -222,23 +271,17 @@ class ChannelCoder:
             blobs = self._compress_entro(z3, scales, means)
             return self._pack(h, w, syntax, z_blob, blobs)
 
-        y_slices = np.split(np.asarray(z3), cfg.num_slices, axis=-1)
+        y_slices = jnp.split(z3, cfg.num_slices, axis=-1)
         supports: List[jax.Array] = []
         blobs: List[bytes] = []
         for i in range(cfg.num_slices):
             sup = supports[: cfg.max_support_slices] if cfg.max_support_slices >= 0 else supports
-            mu, sigma, mean_support = self._entropy_params[i](
-                means, scales, tuple(sup)
+            sym16, idx, y_hat = self._enc_step[i](
+                means, scales, tuple(sup), y_slices[i]
             )
-            mu_np = np.asarray(mu)
-            symbols = np.asarray(
-                jnp.round(jnp.asarray(y_slices[i]) - mu)
-            ).astype(np.int32)
             blobs.append(
-                self.y_coder.encode_symbols(symbols, np.asarray(sigma))
+                self.y_coder.encode_indexed(np.asarray(sym16), np.asarray(idx))
             )
-            y_hat = jnp.asarray(symbols.astype(np.float32) + mu_np)
-            y_hat = self._lrp[i](mean_support, y_hat)
             supports.append(y_hat)
 
         return self._pack(h, w, syntax, z_blob, blobs)
@@ -281,50 +324,49 @@ class ChannelCoder:
         xs, _ = pad_to_multiple(xs, 64)
 
         z3 = self._analyze(xs)
-        z_dev = self._hyper_encode(z3)
-        z_sym = np.asarray(
-            jnp.round(z_dev - jnp.asarray(self.z_coder.medians))
-        ).astype(np.int32)
-        z_hat = jnp.asarray(z_sym.astype(np.float32) + self.z_coder.medians)
+        z_sym16, z_hat = self._z_enc(z3)
         scales, means = self._hyper_decode(z_hat)
+        if cfg.syntax != "none":
+            syntax_dev = self._syntax(z3)
+
+        # dispatch ALL slice steps before any host fetch — device compute
+        # and the (bandwidth-bound) int16/uint8 fetches overlap
+        y_slices = jnp.split(z3, cfg.num_slices, axis=-1)
+        supports: List[jax.Array] = []
+        steps = []
+        for si in range(cfg.num_slices):
+            sup = (
+                supports[: cfg.max_support_slices]
+                if cfg.max_support_slices >= 0
+                else supports
+            )
+            sym16, idx, y_hat = self._enc_step[si](
+                means, scales, tuple(sup), y_slices[si]
+            )
+            steps.append((sym16, idx))
+            supports.append(y_hat)
 
         if cfg.syntax != "none":
-            syntax = np.asarray(self._syntax(z3))[:, 0, 0].astype(np.int16)
+            syntax = np.asarray(syntax_dev)[:, 0, 0].astype(np.int16)
         else:
             syntax = np.zeros((b, 0), np.int16)
 
         with ThreadPoolExecutor(max_workers=1) as pool:
+            z_sym = np.asarray(z_sym16)
             z_jobs = [
                 pool.submit(self.z_coder.encode_symbols, z_sym[i : i + 1])
                 for i in range(b)
             ]
-            y_slices = np.split(np.asarray(z3), cfg.num_slices, axis=-1)
-            supports: List[jax.Array] = []
             slice_jobs = [[] for _ in range(b)]
-            for si in range(cfg.num_slices):
-                sup = (
-                    supports[: cfg.max_support_slices]
-                    if cfg.max_support_slices >= 0
-                    else supports
-                )
-                mu, sigma, mean_support = self._entropy_params[si](
-                    means, scales, tuple(sup)
-                )
-                mu_np = np.asarray(mu)
-                symbols = np.asarray(
-                    jnp.round(jnp.asarray(y_slices[si]) - mu)
-                ).astype(np.int32)
-                sg_np = np.asarray(sigma)
+            for sym16, idx in steps:
+                sym_np, idx_np = np.asarray(sym16), np.asarray(idx)
                 for i in range(b):
                     slice_jobs[i].append(
                         pool.submit(
-                            self.y_coder.encode_symbols,
-                            symbols[i : i + 1], sg_np[i : i + 1],
+                            self.y_coder.encode_indexed,
+                            sym_np[i : i + 1], idx_np[i : i + 1],
                         )
                     )
-                y_hat = jnp.asarray(symbols.astype(np.float32) + mu_np)
-                y_hat = self._lrp[si](mean_support, y_hat)
-                supports.append(y_hat)
 
             return [
                 self._pack(
@@ -351,7 +393,7 @@ class ChannelCoder:
         h, w = padded_size(orig_h, orig_w, 64)
 
         z_shape = (1, h // 64, w // 64, self.z_coder.medians.shape[0])
-        z_hats, syns, offs = [], [], []
+        z_syms, syns, offs = [], [], []
         for data, hd in zip(blobs, heads):
             off = hd[0]
             syn = hd[3]
@@ -359,10 +401,12 @@ class ChannelCoder:
             off += 4
             z_blob = data[off : off + z_len]
             off += z_len
-            z_hats.append(self.z_coder.decode(z_blob, z_shape))
+            z_syms.append(self.z_coder.decode_symbols(z_blob, z_shape))
             syns.append(syn)
             offs.append(off)
-        z_hat = jnp.asarray(np.concatenate(z_hats, axis=0))
+        z_hat = self._z_dec(
+            jnp.asarray(np.concatenate(z_syms, axis=0).astype(np.int16))
+        )
         scales, means = self._hyper_decode(z_hat)
 
         supports: List[jax.Array] = []
@@ -372,23 +416,19 @@ class ChannelCoder:
                 if cfg.max_support_slices >= 0
                 else supports
             )
-            mu, sigma, mean_support = self._entropy_params[si](
-                means, scales, tuple(sup)
-            )
-            mu_np, sg_np = np.asarray(mu), np.asarray(sigma)
-            y_hats = []
+            idx = np.asarray(self._dec_idx[si](means, scales, tuple(sup)))
+            syms = []
             for i in range(b):
                 (blen,) = struct.unpack_from("<I", blobs[i], offs[i])
                 offs[i] += 4
                 blob = blobs[i][offs[i] : offs[i] + blen]
                 offs[i] += blen
-                y_hats.append(
-                    self.y_coder.decode(
-                        blob, mu_np[i : i + 1], sg_np[i : i + 1]
-                    )
+                syms.append(
+                    self.y_coder.decode_indexed(blob, idx[i : i + 1])
                 )
-            y_hat = self._lrp[si](
-                mean_support, jnp.asarray(np.concatenate(y_hats), jnp.float32)
+            y_hat = self._dec_apply[si](
+                means, scales, tuple(sup),
+                jnp.asarray(np.concatenate(syms).astype(np.int16)),
             )
             supports.append(y_hat)
 
@@ -633,7 +673,8 @@ class ChannelCoder:
 
         zh, zw = h // 64, w // 64  # z is at /64 of the input
         z_shape = (1, zh, zw, self.z_coder.medians.shape[0])
-        z_hat = jnp.asarray(self.z_coder.decode(z_blob, z_shape))
+        z_sym = self.z_coder.decode_symbols(z_blob, z_shape)
+        z_hat = self._z_dec(jnp.asarray(z_sym.astype(np.int16)))
         if self.is_entro:
             rec = self._decompress_entro(data, off, z_hat, syntax, h, w)
             return rec[:, :orig_h, :orig_w, :]
@@ -646,11 +687,11 @@ class ChannelCoder:
             blob = data[off : off + blen]
             off += blen
             sup = supports[: cfg.max_support_slices] if cfg.max_support_slices >= 0 else supports
-            mu, sigma, mean_support = self._entropy_params[i](
-                means, scales, tuple(sup)
+            idx = np.asarray(self._dec_idx[i](means, scales, tuple(sup)))
+            sym = self.y_coder.decode_indexed(blob, idx)
+            y_hat = self._dec_apply[i](
+                means, scales, tuple(sup), jnp.asarray(sym.astype(np.int16))
             )
-            y_hat = self.y_coder.decode(blob, np.asarray(mu), np.asarray(sigma))
-            y_hat = self._lrp[i](mean_support, jnp.asarray(y_hat, jnp.float32))
             supports.append(y_hat)
 
         y_hat_full = jnp.concatenate(supports, axis=-1)
