@@ -88,6 +88,28 @@ class TestGaussianCoder:
         table = get_scale_table()
         assert (table[idx] >= np.asarray([0.11, 0.11, 1.0, table[-1]]) - 1e-6).all()
 
+    def test_device_scale_idx_matches_host(self):
+        """The on-device index computation (wire-efficient codec path) binds
+        σ to the same table rows as the host coder.  Consistency only
+        requires device==device (both codec ends run the same jitted fn),
+        but matching the host semantics keeps the CDF tables honest; at
+        exact bin boundaries fp32-vs-float64 may differ by one row."""
+        import jax.numpy as jnp
+
+        from lic_tpu.models.compress import _dev_scale_idx
+
+        gc = GaussianCoder()
+        rng = np.random.default_rng(11)
+        sigma = np.exp(rng.uniform(-3, 6, (4096,))).astype(np.float32)
+        host = gc.scale_indexes(sigma)
+        dev = np.asarray(
+            _dev_scale_idx(
+                jnp.asarray(sigma), jnp.asarray(gc.scale_table, jnp.float32)
+            )
+        ).astype(np.int32)
+        assert np.abs(dev - host).max() <= 1
+        assert (dev == host).mean() > 0.999
+
 
 class TestModelCompress:
     @pytest.fixture(scope="class")
