@@ -135,7 +135,6 @@ class ChannelCoder:
             params,
         )
         self._analyze = ap(CodecModel.analyze)
-        self._hyper_encode = ap(CodecModel.hyper_encode)
         self._hyper_decode = ap(CodecModel.hyper_decode)
         self._syntax = ap(CodecModel.syntax_from_latent)
         self._synthesize = ap(CodecModel.synthesize)
@@ -153,11 +152,11 @@ class ChannelCoder:
         self.y_coder = GaussianCoder()
 
         # ---- wire-efficient step functions (device syms/indexes) ----
-        # The tunneled host link moves ~8 MB/s; fp32 μ/σ/latent fetches
-        # dominated the codec wall-clock.  These steps compute the integer
-        # symbols and the 1-byte scale-table indexes on device and rebuild
-        # y_hat on device from uploaded symbols — only int16/uint8 tensors
-        # cross the link (≈5× less traffic).
+        # fp32 μ/σ/latent fetches cost ~5× the traffic the codec actually
+        # needs.  These steps compute the integer symbols and the 1-byte
+        # scale-table indexes on device and rebuild y_hat on device from
+        # uploaded symbols — only int16/uint8 tensors cross the host link
+        # (docs/PERF.md § codec anatomy).
         med = jnp.asarray(np.asarray(medians), jnp.float32)
         tab = jnp.asarray(self.y_coder.scale_table, jnp.float32)
 
