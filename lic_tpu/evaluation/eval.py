@@ -88,7 +88,9 @@ def content_adaptive_finetune(
     halved at step 50 — the reference's pre-processing branch
     (``eval_net.py:118-199``; note it uses λ·mse without the 255² factor,
     :176 — reproduced).  Post-processing is bypassed during tuning
-    (``eval_net.py:171``) by training against the pre-HAN output."""
+    (``net.post_processing = False``, ``eval_net.py:171``): the tune loss
+    passes ``use_post_processing=False`` so g_a trains against the
+    pre-HAN reconstruction even on a ``post_processing=True`` model."""
     padded, _ = pad_to_multiple(x_pm1, eval_cfg.pad_multiple, mode="replicate")
 
     sched = optax.piecewise_constant_schedule(
@@ -109,7 +111,10 @@ def content_adaptive_finetune(
     opt_state = opt.init(params)
 
     def loss_fn(p, key):
-        out = model.apply({"params": p}, padded, training=True, rngs={"noise": key})
+        out = model.apply(
+            {"params": p}, padded, training=True,
+            use_post_processing=False, rngs={"noise": key},
+        )
         return eval_cfg.lmbda * out.mse + out.bpp
 
     @jax.jit

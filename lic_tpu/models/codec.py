@@ -225,9 +225,14 @@ class CodecModel(nn.Module):
     def _noise_key(self):
         return self.make_rng("noise")
 
-    def _decode_tail(self, x_tilde, syntax_rounded, training):
+    def _decode_tail(self, x_tilde, syntax_rounded, use_post_processing=True):
         """g_s output → RGB via the per-image generated conv (+ optional
-        tanh + HAN post-processing)."""
+        tanh + HAN post-processing).
+
+        ``use_post_processing=False`` skips the HAN tail even when the
+        model carries one — the reference's content-adaptive tuning loop
+        sets ``net.post_processing = False`` for the duration of the
+        per-image encoder overfit (``eval_net.py:171``)."""
         cfg = self.cfg
         if cfg.syntax != "none" and cfg.syntax_decoder:
             w = self.conv_weights_gen(syntax_rounded)
@@ -236,7 +241,7 @@ class CodecModel(nn.Module):
                 x_bf = jnp.tanh(x_bf)
         else:
             x_bf = x_tilde
-        if cfg.post_processing:
+        if cfg.post_processing and use_post_processing:
             feats = self.han(x_bf)
             w2 = self.conv_weights_gen_han(syntax_rounded)
             out = batch_conv(w2, feats)
@@ -246,14 +251,19 @@ class CodecModel(nn.Module):
 
     # ------------------------------------------------------------------
 
-    def __call__(self, x: jax.Array, training: bool = True) -> CodecOutput:
+    def __call__(
+        self,
+        x: jax.Array,
+        training: bool = True,
+        use_post_processing: bool = True,
+    ) -> CodecOutput:
         if self.cfg.family == "neural_syntax":
-            return self._forward_neural_syntax(x, training)
-        return self._forward_charm(x, training)
+            return self._forward_neural_syntax(x, training, use_post_processing)
+        return self._forward_charm(x, training, use_post_processing)
 
     # ---------------------------------------------- neural syntax family
 
-    def _forward_neural_syntax(self, x, training):
+    def _forward_neural_syntax(self, x, training, use_post_processing=True):
         cfg = self.cfg
         N, M = cfg.N, cfg.M
         b, h, w, _ = x.shape
@@ -293,7 +303,7 @@ class CodecModel(nn.Module):
         syntax_lik = self.gm_syntax(syntax_in, sigma_s, mu_s)
 
         x_tilde = self.g_s(content_rounded)
-        x_tilde = self._decode_tail(x_tilde, syntax_rounded, training)
+        x_tilde = self._decode_tail(x_tilde, syntax_rounded, use_post_processing)
 
         bpp_z = _bpp(z2_lik, num_pixels)
         bpp_y = _bpp(content_lik, num_pixels)
@@ -358,7 +368,7 @@ class CodecModel(nn.Module):
             means = self.h_mean_s(z_hat)
         return scales, means, z_lik, z_hat
 
-    def _forward_charm(self, x, training):
+    def _forward_charm(self, x, training, use_post_processing=True):
         cfg = self.cfg
         N, M = cfg.N, cfg.M
         b, h, w, _ = x.shape
@@ -378,7 +388,7 @@ class CodecModel(nn.Module):
         if cfg.context == "entroformer":
             return self._entroformer_entropy(
                 x, z3, latent_scales, latent_means, z_lik, syntax_rounded,
-                training, num_pixels,
+                training, num_pixels, use_post_processing,
             )
 
         ns = cfg.num_slices
@@ -421,7 +431,7 @@ class CodecModel(nn.Module):
         y_likelihoods = jnp.concatenate(y_liks, axis=-1)
 
         x_tilde = self.g_s(y_hat)
-        x_tilde = self._decode_tail(x_tilde, syntax_rounded, training)
+        x_tilde = self._decode_tail(x_tilde, syntax_rounded, use_post_processing)
 
         bpp_y = _bpp(y_likelihoods, num_pixels)
         if z_lik is not None and cfg.count_hyper_bpp:
@@ -502,7 +512,7 @@ class CodecModel(nn.Module):
     def synthesize(self, y_hat, syntax_rounded):
         """y_hat (+ syntax vector) → reconstruction."""
         x_tilde = self.g_s(y_hat)
-        return self._decode_tail(x_tilde, syntax_rounded, training=False)
+        return self._decode_tail(x_tilde, syntax_rounded)
 
     # ----------------------- neural-syntax bitstream sub-passes
     #
@@ -544,7 +554,7 @@ class CodecModel(nn.Module):
 
     def _entroformer_entropy(
         self, x, z3, latent_scales, latent_means, z_lik, syntax_rounded,
-        training, num_pixels,
+        training, num_pixels, use_post_processing=True,
     ):
         """Checkerboard masked-attention entropy coding over y: anchors are
         predicted from the hyper alone, non-anchors from the decoded anchor
@@ -579,7 +589,7 @@ class CodecModel(nn.Module):
         y_hat = ste_round(z3 - mu) + mu
 
         x_tilde = self.g_s(y_hat)
-        x_tilde = self._decode_tail(x_tilde, syntax_rounded, training)
+        x_tilde = self._decode_tail(x_tilde, syntax_rounded, use_post_processing)
 
         bpp_y = _bpp(y_lik, num_pixels)
         bpp_z = (

@@ -153,9 +153,12 @@ def _rbs_body(m: nn.Module, x: jax.Array, filters: Sequence[int]) -> jax.Array:
     never instantiated).  Topology as written: WAM gate → three
     ResidualBottleneck triplets at each scale, CompressAI-style
     ResidualBlockUpsample for ×2 stages, IGDN activations, padded deconv5
-    tail.  As written the class only upsamples ×8; the reference's
-    commented-out second ``ResidualBlockUpsample`` (``Net_unet.py:392``)
-    is restored here so the g_s spatial contract (×16) holds.
+    tail, including the live shape-preserving
+    ``ConvTranspose2d(f0, f0, 3, stride=1, padding=1)`` after the first
+    IGDN (``Net_unet.py:389``).  As written the class only upsamples ×8;
+    the reference's commented-out second ``ResidualBlockUpsample``
+    (``Net_unet.py:392``) is restored here so the g_s spatial contract
+    (×16) holds.
     """
     f0, f1, f2, f3 = filters
     x = WinNoShiftAttention(x.shape[-1], 8, 4, 2, name="rbs_wam0")(x)
@@ -163,6 +166,10 @@ def _rbs_body(m: nn.Module, x: jax.Array, filters: Sequence[int]) -> jax.Array:
     for i in range(3):
         x = ResidualBottleneck(f0, name=f"rbs_rb0_{i}")(x)
     x = GDN(f0, inverse=True, name="rbs_igdn0")(x)
+    x = ConvTranspose2d(
+        f0, kernel_size=3, stride=1, padding=1, output_padding=0,
+        name="rbs_deconv3",
+    )(x)
     x = ResidualBlockUpsample(f1, 2, name="rbs_up1")(x)
     x = GDN(f1, inverse=True, name="rbs_igdn1")(x)
     x = WinNoShiftAttention(f1, 8, 8, 2, name="rbs_wam1")(x)

@@ -69,23 +69,42 @@ def save_params(path: str, params: Any) -> None:
     np.savez(path, **arrays)
 
 
-def load_params(path: str, template: Any) -> Any:
+def load_params(path: str, template: Any, strict: bool = True) -> Any:
     """Restore a params pytree saved by ``save_params`` into ``template``'s
-    structure (strict: every leaf must be present, like the reference's
-    strict=True ``load_state_dict``)."""
+    structure.
+
+    strict=True mirrors the reference's strict ``load_state_dict``
+    (``eval_net.py:91``): every template leaf must be present with the
+    right shape.  strict=False keeps the template's (freshly initialized)
+    leaf for any missing or shape-mismatched entry — used to warm-start a
+    ``post_processing=True`` model (fresh HAN tail) from a base-phase
+    checkpoint, the reference's two-phase workflow
+    (``train_net_unet.py:118-134``)."""
     data = np.load(path)
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
+    skipped = []
     for keypath, leaf in flat:
         name = "/".join(str(getattr(k, "key", k)) for k in keypath)
         if name not in data:
-            raise KeyError(f"checkpoint missing parameter {name}")
+            if strict:
+                raise KeyError(f"checkpoint missing parameter {name}")
+            skipped.append(name)
+            leaves.append(leaf)
+            continue
         arr = data[name]
         if arr.shape != leaf.shape:
-            raise ValueError(
-                f"shape mismatch for {name}: ckpt {arr.shape} vs model {leaf.shape}"
-            )
+            if strict:
+                raise ValueError(
+                    f"shape mismatch for {name}: ckpt {arr.shape} vs model {leaf.shape}"
+                )
+            skipped.append(name)
+            leaves.append(leaf)
+            continue
         leaves.append(arr.astype(leaf.dtype) if hasattr(leaf, "dtype") else arr)
+    if skipped:
+        print(f"load_params: kept fresh init for {len(skipped)} leaves "
+              f"(e.g. {skipped[0]})")
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(template), leaves
     )

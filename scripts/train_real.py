@@ -143,6 +143,21 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--init_from", default="",
                     help="warm-start params npz (e.g. the previous λ point)")
+    ap.add_argument("--is_high", action="store_true",
+                    help="high-rate capacity N=384/M=32 (reference --high)")
+    ap.add_argument("--post_processing", action="store_true",
+                    help="attach the HAN post-processing tail")
+    ap.add_argument("--phase2", action="store_true",
+                    help="post-processing-only phase: AdamW over the HAN "
+                         "tail, everything else frozen "
+                         "(train_net_unet.py:125-134); implies "
+                         "--post_processing and a non-strict warm start")
+    ap.add_argument("--init_scheme", default="",
+                    help="re-init conv/dense kernels per a reference scheme "
+                         "(xavier_uniform = the reference's literal "
+                         "weight_init, net_unet_ha_hs.py:646-652) before "
+                         "training — for A/B'ing the documented LeCun-init "
+                         "departure (PARITY.md)")
     ap.add_argument("--pool_size", type=int, default=6144,
                     help="augmented crop pool size (uint8, device-resident)")
     ap.add_argument("--scan_steps", type=int, default=8,
@@ -168,7 +183,12 @@ def main():
     pool_dev = jnp.asarray(pool)
     sample_batch = make_sampler(args.batch)
 
-    model = build_model(args.preset)
+    overrides = {}
+    if args.is_high:
+        overrides["is_high"] = True
+    if args.post_processing or args.phase2:
+        overrides["post_processing"] = True
+    model = build_model(args.preset, **overrides)
     # milestones in step space: reference halves at 30/50/70/80% of the run
     spe = max(args.steps // 100, 1)
     tc = TrainConfig(
@@ -177,14 +197,37 @@ def main():
         lr_milestones=tuple(
             int(args.steps * f / spe) for f in (0.3, 0.5, 0.7, 0.8)
         ),
+        # phase2 halvings at 80/90% of the run (reference proportions:
+        # 1200/1500, 1350/1500 — train_net_unet.py:125-130)
+        pp_milestones=tuple(
+            int(args.steps * f / spe) for f in (0.8, 0.9)
+        ),
         seed=args.seed,
     )
-    opt = make_optimizer(tc, steps_per_epoch=spe)
+    opt = make_optimizer(
+        tc, steps_per_epoch=spe, post_processing_phase=args.phase2
+    )
     x0 = sample_batch(pool_dev, jax.random.PRNGKey(args.seed + 777))
-    state = create_state(model, opt, x0, seed=args.seed)
+    params = model.init(
+        {"params": jax.random.PRNGKey(args.seed),
+         "noise": jax.random.PRNGKey(args.seed + 1)},
+        x0, training=True,
+    )["params"]
+    if args.init_scheme:
+        from lic_tpu.utils.init import apply_init_scheme
+
+        params = apply_init_scheme(
+            jax.random.PRNGKey(args.seed + 5), params, args.init_scheme
+        )
     if args.init_from:
-        params = load_params(args.init_from, state.params)
-        state = state.replace(params=params)
+        params = load_params(args.init_from, params, strict=not args.phase2)
+    if model.cfg.post_processing:
+        # two-phase split: phase2 trains only the HAN tail, base phase
+        # freezes it (reference base_params/post_processing_params)
+        from lic_tpu.training.train import freeze_partition
+
+        opt = freeze_partition(opt, params, args.phase2)
+    state = create_state(model, opt, x0, seed=args.seed, params=params)
 
     # The tunneled device adds ~0.5 s RTT per dispatch; scan K optimizer
     # steps inside ONE jitted call (with on-device batch sampling) so
@@ -267,8 +310,8 @@ def main():
                     255.0 ** 2 / float(np.mean((rec2 - ref) ** 2))
                 ), 3,
             )
-        except ValueError as e:
-            r["bitstream"] = f"not decodable: {e}"
+        except Exception as e:  # record, don't lose the run's eval
+            r["bitstream"] = f"not decodable: {type(e).__name__}: {e}"
         return r
 
     result = {

@@ -87,6 +87,46 @@ class TestEvaluateImage:
         assert r_crop["bpp"] > r_full["bpp"] * 0.5
 
 
+class TestTuneBypassesHan:
+    """The reference disables post-processing for the tune loop
+    (``eval_net.py:171``); the tune loss must not see HAN."""
+
+    def test_bypass_changes_output_and_zeroes_han_grads(self):
+        cfg = TINY.replace(post_processing=True)
+        m = CodecModel(cfg)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+        params = m.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            x, training=True,
+        )["params"]
+
+        out_pp = m.apply({"params": params}, x, training=False)
+        out_raw = m.apply(
+            {"params": params}, x, training=False, use_post_processing=False
+        )
+        assert not np.allclose(
+            np.asarray(out_pp.x_tilde), np.asarray(out_raw.x_tilde)
+        )
+
+        def tune_loss(p):
+            out = m.apply(
+                {"params": p}, x, training=True, use_post_processing=False,
+                rngs={"noise": jax.random.PRNGKey(2)},
+            )
+            return 0.0067 * out.mse + out.bpp
+
+        g = jax.grad(tune_loss)(params)
+        for leaf in (
+            jax.tree.leaves(g["han"]) + jax.tree.leaves(g["conv_weights_gen_han"])
+        ):
+            np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+        ga_nonzero = any(
+            np.any(np.asarray(leaf) != 0) for leaf in jax.tree.leaves(g["g_a"])
+        )
+        assert ga_nonzero
+
+
 class TestContentAdaptiveFinetune:
     def test_only_ga_moves_and_loss_improves(self):
         m, params = _model_and_params()

@@ -246,6 +246,38 @@ class TestDataParallel:
             float(m1["loss"]), float(m8["loss"]), rtol=1e-4
         )
 
+    def test_dp_trajectory_matches_single_device(self):
+        """Multi-step: the sharded optimizer trajectory tracks the
+        unsharded one step-for-step and decreases (multichip training is
+        an invariant, not a one-step smoke check)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        model, tc, opt, _, _ = _tiny_setup(batch=8, size=64)
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32))
+        state = create_state(model, opt, x, seed=0)
+
+        step1 = jax.jit(make_train_step(model, tc, opt))
+        s1, ref = state, []
+        for _ in range(5):
+            s1, m = step1(s1, x)
+            ref.append(float(m["loss"]))
+
+        mesh = make_mesh(8)
+        s8 = jax.device_put(state, replicated(mesh))
+        xb = jax.device_put(x, batch_sharding(mesh))
+        step8 = jax.jit(
+            make_train_step(model, tc, opt),
+            in_shardings=(replicated(mesh), batch_sharding(mesh)),
+            out_shardings=(replicated(mesh), replicated(mesh)),
+        )
+        got = []
+        for _ in range(5):
+            s8, m = step8(s8, xb)
+            got.append(float(m["loss"]))
+        np.testing.assert_allclose(got, ref, rtol=2e-4)
+        assert got[-1] < got[0]
+
 
 class TestCheckpoint:
     def test_params_npz_roundtrip(self, tmp_path):
