@@ -17,6 +17,7 @@ XLA-native formulation (a single fused conv, no scatter).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Sequence, Tuple, Union
 
 import jax
@@ -79,6 +80,87 @@ def set_pallas_conv(enabled: bool, interpret: bool = False) -> None:
     global _PALLAS_CONV, _PALLAS_INTERPRET
     _PALLAS_CONV = bool(enabled)
     _PALLAS_INTERPRET = bool(interpret)
+
+
+# Narrow-input convs (RGB entry layers: plain g_a layer 0, the rich
+# transforms' full-resolution ResidualBottleneck(3) stack, HAN's first
+# conv) starve the MXU: C_in=3 fills 3 of 128 systolic rows, and XLA's
+# strided conv lowering runs them at ~3.4 TF/s (docs/PERF.md, g_a layer-1
+# row — 6.7 ms of a 38 ms forward).  The im2col lowering concatenates the
+# k² shifted strided slices into one (B·H'·W', k²·C_in) operand and runs a
+# single dense matmul — K grows k²× (3→75 for the 5×5 entry conv), the
+# slices/concat are pure HBM traffic on a tiny tensor, and the op becomes
+# bandwidth-bound instead of MXU-starved.  Gated to small C_in where the
+# k²× operand blowup is cheap.
+#
+# MEASURED OFF (scripts/perf_probe_r3.py, v5e): the k² strided slices on a
+# 3-lane NHWC tensor lower pathologically (29.8 ms vs 6.4 ms XLA strided on
+# the 512×768 entry conv) — every (w, c) row is 3/128 lanes occupied.  The
+# winning narrow-input lowering is space-to-depth (see Conv2d below);
+# im2col stays available for experiments via set_im2col_conv(True).
+_IM2COL_CONV = False
+
+
+def set_im2col_conv(enabled: bool) -> None:
+    global _IM2COL_CONV
+    _IM2COL_CONV = bool(enabled)
+
+
+def _use_im2col(cin: int, k: int) -> bool:
+    return _IM2COL_CONV and k > 1 and cin < 64 and cin * k * k <= 512
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv_im2col(x: jax.Array, kernel: jax.Array, stride: int, padding) -> jax.Array:
+    k = kernel.shape[0]
+    cout = kernel.shape[-1]
+    (pt, pb), (pleft, pright) = _norm_padding(padding)
+    xp = jnp.pad(x, ((0, 0), (pt, pb), (pleft, pright), (0, 0)))
+    b, hp, wp, c = xp.shape
+    ho = (hp - k) // stride + 1
+    wo = (wp - k) // stride + 1
+    cols = jnp.concatenate(
+        [
+            lax.slice(
+                xp,
+                (0, a, bb, 0),
+                (b, a + (ho - 1) * stride + 1, bb + (wo - 1) * stride + 1, c),
+                (1, stride, stride, 1),
+            )
+            for a in range(k)
+            for bb in range(k)
+        ],
+        axis=-1,
+    )
+    # concat order (a, b, c_in) matches HWIO kernel.reshape(k*k*c, cout)
+    y = lax.dot_general(
+        cols.reshape(b * ho * wo, k * k * c),
+        kernel.reshape(k * k * c, cout),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y.reshape(b, ho, wo, cout).astype(x.dtype)
+
+
+def _conv_im2col_fwd(x, kernel, stride, padding):
+    return _conv_im2col(x, kernel, stride, padding), (x, kernel)
+
+
+def _conv_im2col_bwd(stride, padding, res, g):
+    x, kernel = res
+
+    def ref(xx, kk):
+        return lax.conv_general_dilated(
+            xx, kk, window_strides=(stride, stride),
+            padding=_norm_padding(padding),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    _, vjp = jax.vjp(ref, x, kernel)
+    return vjp(g.astype(x.dtype))
+
+
+_conv_im2col.defvjp(_conv_im2col_fwd, _conv_im2col_bwd)
 
 
 def _xla_conv5s2(x: jax.Array, kernel: jax.Array) -> jax.Array:
@@ -155,6 +237,15 @@ class Conv2d(nn.Module):
             from .s2d_conv import conv5s2_s2d
 
             y = conv5s2_s2d(x.astype(dtype), kernel.astype(dtype))
+        elif _use_im2col(x.shape[-1], k):
+            pad = (
+                self.padding
+                if isinstance(self.padding, int)
+                else tuple(self.padding)
+            )
+            y = _conv_im2col(
+                x.astype(dtype), kernel.astype(dtype), self.stride, pad
+            )
         else:
             y = lax.conv_general_dilated(
                 x.astype(dtype),

@@ -184,11 +184,15 @@ class ChannelCoder:
             return sym.astype(jnp.int16), _dev_scale_idx(sigma, tab), y_hat
 
         def dec_idx_impl(p, m, s, sup, i):
-            _, sigma, _ = eparams(p, m, s, sup, i)
-            return _dev_scale_idx(sigma, tab)
+            # One entropy-params evaluation per slice: σ becomes the uint8
+            # scale-table index (the only thing fetched to host); μ and the
+            # mean support stay device-resident and feed the slim LRP-only
+            # apply step — the params are NOT recomputed after the host
+            # rANS decode.
+            mu, sigma, mean_support = eparams(p, m, s, sup, i)
+            return _dev_scale_idx(sigma, tab), mu, mean_support
 
-        def dec_apply_impl(p, m, s, sup, sym16, i):
-            mu, _, mean_support = eparams(p, m, s, sup, i)
+        def dec_apply_impl(p, mean_support, mu, sym16, i):
             return model.apply(
                 {"params": p}, mean_support, sym16.astype(jnp.float32) + mu, i,
                 method=CodecModel.charm_apply_lrp,
@@ -225,7 +229,6 @@ class ChannelCoder:
         self._ns_ha = ap(CodecModel.ns_hyper_encode)
         self._ns_hs = ap(CodecModel.ns_hyper_decode)
         self._ns_syntax_params = ap(CodecModel.ns_syntax_params)
-        self._ns_head = ap(CodecModel.ns_context_head)
         self._ns_syntax_vec = ap(CodecModel.syntax_from_latent)
         self._synthesize = ap(CodecModel.synthesize)
 
@@ -238,6 +241,56 @@ class ChannelCoder:
         self.z2_coder = GaussianCoder()
         self.mu_coder = GaussianMuCoder()
         self.digest = zlib.crc32(sigma_z2.tobytes()) & 0xFFFFFFFF
+
+        # ---- device-resident wavefront step -------------------------
+        # ONE jitted step drives both encode and decode (bit-identity by
+        # construction): scatter the previous group's integer values into
+        # the device-resident plane, gather the current group's 4×4 causal
+        # patches ON DEVICE, run the prediction head, and emit the rounded
+        # means + rANS row indexes (int32).  The encoder knows every value
+        # upfront (y_int), so it dispatches all T steps back-to-back with
+        # NO host fetch in the loop — wavefront encode collapses from
+        # T≈2H'+W' round trips to one pipeline + one bulk fetch of the
+        # (T, P, C) accumulators.  The decoder runs the same executable
+        # but fetches the small (2, P, C) per-step output to drive the
+        # host rANS between steps.
+        tabm = jnp.asarray(self.mu_coder.scale_table, jnp.float32)
+        nd = self.mu_coder.n_delta
+
+        def ns_step_impl(
+            p, ypad, acc, hpad, prev_r, prev_c, prev_vals, cur_r, cur_c, t
+        ):
+            ypad = ypad.at[prev_r, prev_c].set(prev_vals, mode="drop")
+            ii = jnp.arange(4)
+            rr = cur_r[:, None, None] + ii[None, :, None]     # (P, 4, 1)
+            cc = cur_c[:, None, None] + ii[None, None, :] + 1  # (P, 1, 4)
+            ypat = ypad[rr, cc]  # (P, 4, 4, Cy) — OOB rows clamp (garbage
+            ypat = ypat.at[:, 3, 2:, :].set(0.0)  # rows are masked on host)
+            hpat = hpad[rr, cc]
+            mu, sg = self.model.apply(
+                {"params": p},
+                jnp.concatenate([ypat, hpat], axis=-1),
+                method=CodecModel.ns_context_head,
+            )
+            mu_r = jnp.round(mu)
+            si = jnp.clip(
+                jnp.searchsorted(tabm, jnp.maximum(sg, tabm[0]) - 1e-9),
+                0, tabm.shape[0] - 1,
+            )
+            dj = jnp.clip(jnp.floor((mu - mu_r + 0.5) * nd), 0, nd - 1)
+            step_out = jnp.stack(
+                [mu_r.astype(jnp.int32), (si * nd + dj).astype(jnp.int32)]
+            )  # (2, P, C): [round(μ), rANS row index]
+            acc = jax.lax.dynamic_update_index_in_dim(acc, step_out, t, 0)
+            return ypad, acc, step_out
+
+        self._ns_step = partial(
+            jax.jit(ns_step_impl, donate_argnums=(1, 2)), params
+        )
+        self._ns_scatter = jax.jit(
+            lambda ypad, r, c, v: ypad.at[r, c].set(v, mode="drop"),
+            donate_argnums=(0,),
+        )
 
     # ------------------------------------------------------------- encode
 
@@ -415,7 +468,8 @@ class ChannelCoder:
                 if cfg.max_support_slices >= 0
                 else supports
             )
-            idx = np.asarray(self._dec_idx[si](means, scales, tuple(sup)))
+            idx_dev, mu, msup = self._dec_idx[si](means, scales, tuple(sup))
+            idx = np.asarray(idx_dev)
             syms = []
             for i in range(b):
                 (blen,) = struct.unpack_from("<I", blobs[i], offs[i])
@@ -426,8 +480,7 @@ class ChannelCoder:
                     self.y_coder.decode_indexed(blob, idx[i : i + 1])
                 )
             y_hat = self._dec_apply[si](
-                means, scales, tuple(sup),
-                jnp.asarray(np.concatenate(syms).astype(np.int16)),
+                msup, mu, jnp.asarray(np.concatenate(syms).astype(np.int16))
             )
             supports.append(y_hat)
 
@@ -473,52 +526,90 @@ class ChannelCoder:
     # ------------------------------- neural-syntax wavefront coding
 
     def _ns_wavefront(self, h2_np, y_int=None, stream=None):
-        """Run the wavefront schedule over the content latent.
+        """Run the wavefront schedule over the content latent on DEVICE.
 
-        Encode mode (``y_int`` given): returns (mu, sigma, ints) flattened
-        in wavefront order.  Decode mode (``stream`` given): additionally
-        reconstructs the plane from the rANS stream; returns the plane.
-        Both modes run the *identical* device calls (same P_max-padded
-        shapes) so μ/σ agree bit-for-bit between encoder and decoder.
+        Encode mode (``y_int`` given): all T steps are dispatched
+        back-to-back (the values scattered into the context plane come
+        from the known ``y_int``, so nothing in the loop waits on a
+        fetch); one bulk fetch of the (T, 2, P, C) accumulator yields
+        every group's rounded means and rANS row indexes.  Decode mode
+        (``stream`` given): the same jitted step runs once per group —
+        the only host work between steps is the rANS decode of that
+        group's symbols.  Both modes execute the *identical* executable
+        on identical inputs, so μ/σ (and hence the coded indexes) agree
+        bit-for-bit between encoder and decoder by construction.
+
+        Returns ``(mu_round, idx, y_all, plane)`` where ``mu_round``/
+        ``idx`` are int32 arrays flattened in wavefront order.
         """
         cfg = self.model.cfg
         c = cfg.N - cfg.M
         hy, wy = h2_np.shape[0], h2_np.shape[1]
         groups = wavefront_groups(hy, wy)
+        T = len(groups)
         p_max = max(len(g[0]) for g in groups)
-        hpad = np.pad(h2_np, ((3, 3), (3, 3), (0, 0))).astype(np.float32)
-        if y_int is not None:
-            ypad = np.pad(
-                y_int.astype(np.float32), ((3, 3), (3, 3), (0, 0))
-            )
-        else:
-            ypad = np.zeros((hy + 6, wy + 6, c), np.float32)
+        OOB = -(10 ** 6)  # padded scatter rows: dropped (mode='drop')
 
-        mus, sgs, ints = [], [], []
-        for ps, qs in groups:
-            n = len(ps)
-            ypat = _gather_patches(ypad, ps, qs, p_max)
-            ypat[:, 3, 2:, :] = 0.0  # causal mask: self + right neighbour
-            hpat = _gather_patches(hpad, ps, qs, p_max)
-            merged = jnp.asarray(np.concatenate([ypat, hpat], axis=-1))
-            mu, sg = self._ns_head(merged)
-            mu = np.asarray(mu, np.float32)[:n]
-            sg = np.asarray(sg, np.float32)[:n]
-            mus.append(mu)
-            sgs.append(sg)
+        def pad_rc(a):
+            return np.pad(
+                a.astype(np.int32) + 3, (0, p_max - len(a)),
+                constant_values=OOB,
+            )
+
+        cur_rs = [pad_rc(ps) for ps, _ in groups]
+        cur_cs = [pad_rc(qs) for _, qs in groups]
+
+        hpad = jnp.asarray(
+            np.pad(h2_np, ((3, 3), (3, 3), (0, 0))).astype(np.float32)
+        )
+        ypad = jnp.zeros((hy + 6, wy + 6, c), jnp.float32)
+        acc = jnp.zeros((T, 2, p_max, c), jnp.int32)
+
+        zero_rc = np.full((p_max,), OOB, np.int32)
+        zero_vals = np.zeros((p_max, c), np.float32)
+
+        def vals_of(t, decoded):
+            ps, qs = groups[t]
+            v = (
+                y_int[ps, qs, :].astype(np.float32)
+                if y_int is not None
+                else decoded
+            )
+            return np.pad(v, ((0, p_max - len(ps)), (0, 0)))
+
+        ints = []
+        prev_vals = None
+        for t in range(T):
+            ypad, acc, step_out = self._ns_step(
+                ypad, acc, hpad,
+                zero_rc if t == 0 else cur_rs[t - 1],
+                zero_rc if t == 0 else cur_cs[t - 1],
+                zero_vals if t == 0 else prev_vals,
+                cur_rs[t], cur_cs[t], t,
+            )
+            n = len(groups[t][0])
             if stream is not None:
-                idx = self.mu_coder.indexes(sg, mu)
-                sym = stream.decode(idx).reshape(n, c)
-                vals = sym + np.round(mu).astype(np.int32)
-                ypad[ps + 3, qs + 3, :] = vals.astype(np.float32)
+                out = np.asarray(step_out)  # (2, P, C) — the step's fetch
+                sym = stream.decode(out[1, :n].astype(np.int32))
+                vals = sym.reshape(n, c) + out[0, :n]
                 ints.append(vals)
+                prev_vals = vals_of(t, vals.astype(np.float32))
             else:
-                ints.append(y_int[ps, qs, :])
-        mu_all = np.concatenate(mus, axis=0)
-        sg_all = np.concatenate(sgs, axis=0)
+                ints.append(y_int[groups[t][0], groups[t][1], :])
+                prev_vals = vals_of(t, None)
+        # final group's values enter the plane here (decode needs them)
+        ypad = self._ns_scatter(ypad, cur_rs[-1], cur_cs[-1], prev_vals)
+
+        out_all = np.asarray(acc)  # encode: the single bulk fetch
+        mu_all = np.concatenate(
+            [out_all[t, 0, : len(ps)] for t, (ps, _) in enumerate(groups)]
+        )
+        idx_all = np.concatenate(
+            [out_all[t, 1, : len(ps)] for t, (ps, _) in enumerate(groups)]
+        )
         y_all = np.concatenate(ints, axis=0)
-        plane = ypad[3 : 3 + hy, 3 : 3 + wy, :]
-        return mu_all, sg_all, y_all, plane
+        plane = np.asarray(ypad)[3 : 3 + hy, 3 : 3 + wy, :]
+        return mu_all, idx_all, y_all, plane
 
     def _compress_ns(self, x: jax.Array, h: int, w: int) -> bytes:
         cfg = self.model.cfg
@@ -539,10 +630,12 @@ class ChannelCoder:
 
         content = z3[..., cfg.M :]
         y_int = np.asarray(jnp.round(content)).astype(np.int32)[0]
-        mu_all, sg_all, y_all, _ = self._ns_wavefront(
+        mu_round, idx_all, y_all, _ = self._ns_wavefront(
             np.asarray(h2, np.float32)[0], y_int=y_int
         )
-        blob_y = self.mu_coder.encode_ints(y_all, mu_all, sg_all)
+        blob_y = self.mu_coder.codec.encode(
+            (y_all.astype(np.int64) - mu_round).astype(np.int32), idx_all
+        )
 
         return self._pack(
             h, w, np.zeros((0,), np.int16), blob_z2, [blob_syn, blob_y]
@@ -686,10 +779,10 @@ class ChannelCoder:
             blob = data[off : off + blen]
             off += blen
             sup = supports[: cfg.max_support_slices] if cfg.max_support_slices >= 0 else supports
-            idx = np.asarray(self._dec_idx[i](means, scales, tuple(sup)))
-            sym = self.y_coder.decode_indexed(blob, idx)
+            idx_dev, mu, msup = self._dec_idx[i](means, scales, tuple(sup))
+            sym = self.y_coder.decode_indexed(blob, np.asarray(idx_dev))
             y_hat = self._dec_apply[i](
-                means, scales, tuple(sup), jnp.asarray(sym.astype(np.int16))
+                msup, mu, jnp.asarray(sym.astype(np.int16))
             )
             supports.append(y_hat)
 

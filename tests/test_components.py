@@ -229,6 +229,84 @@ class TestTritPlane:
         np.testing.assert_array_equal(diff_decode(d2), ch)
 
 
+class TestInitSchemes:
+    """``utils/init.py::apply_init_scheme`` — the reference's tree-walking
+    ``weight_init`` family (``model/util.py:175-283``) on a params pytree."""
+
+    def _params(self):
+        from lic_tpu.config import CodecConfig
+        from lic_tpu.models import CodecModel
+
+        cfg = CodecConfig(
+            family="charm", transform="plain", hyper="classic_dual",
+            swatten=False, syntax="basic",
+        )
+        m = CodecModel(cfg)
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        p = m.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            x, training=True,
+        )["params"]
+        return p
+
+    def test_xavier_uniform_statistics_and_selectivity(self):
+        from lic_tpu.utils.init import apply_init_scheme
+
+        p = self._params()
+        q = apply_init_scheme(jax.random.PRNGKey(7), p, "xavier_uniform")
+
+        flat_p = dict(jax.tree_util.tree_flatten_with_path(p)[0] and {
+            "/".join(str(getattr(k, "key", k)) for k in kp): v
+            for kp, v in jax.tree_util.tree_flatten_with_path(p)[0]
+        })
+        flat_q = {
+            "/".join(str(getattr(k, "key", k)) for k in kp): v
+            for kp, v in jax.tree_util.tree_flatten_with_path(q)[0]
+        }
+        # a conv kernel: redrawn, bounded by the xavier limit
+        name = next(
+            n for n, v in flat_q.items()
+            if n.endswith("kernel") and v.ndim == 4
+        )
+        kh, kw, ci, co = flat_q[name].shape
+        limit = np.sqrt(6.0 / (kh * kw * ci + kh * kw * co))
+        assert float(jnp.max(jnp.abs(flat_q[name]))) <= limit + 1e-6
+        assert not np.allclose(np.asarray(flat_p[name]), np.asarray(flat_q[name]))
+        # biases zeroed
+        bias = next(n for n in flat_q if n.endswith("bias"))
+        np.testing.assert_array_equal(np.asarray(flat_q[bias]), 0.0)
+        # GDN reparameterized leaves untouched (not 'kernel'/'bias')
+        gdn = [n for n in flat_p if "gdn" in n.lower() and not n.endswith(("kernel", "bias"))]
+        assert gdn, "expected GDN beta/gamma leaves"
+        for n in gdn:
+            np.testing.assert_array_equal(
+                np.asarray(flat_p[n]), np.asarray(flat_q[n])
+            )
+
+    def test_schemes_differ_and_are_deterministic(self):
+        from lic_tpu.utils.init import SCHEMES, apply_init_scheme
+
+        p = self._params()
+        outs = {}
+        for s in SCHEMES:
+            a = apply_init_scheme(jax.random.PRNGKey(3), p, s)
+            b = apply_init_scheme(jax.random.PRNGKey(3), p, s)
+            la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+            for x, y in zip(la, lb):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+            outs[s] = float(
+                sum(jnp.sum(jnp.abs(v)) for v in jax.tree.leaves(a))
+            )
+        assert len({round(v, 3) for v in outs.values()}) > 1
+
+    def test_trunc_normal_bounds(self):
+        from lic_tpu.utils.init import trunc_normal_array
+
+        x = trunc_normal_array(jax.random.PRNGKey(0), (4096,), std=0.02)
+        assert float(jnp.max(x)) <= 2.0 and float(jnp.min(x)) >= -2.0
+        assert 0.015 < float(jnp.std(x)) < 0.025
+
+
 class TestUtils:
     def test_analyze_data(self):
         from lic_tpu.utils.analyze import analyze_data

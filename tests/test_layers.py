@@ -110,6 +110,82 @@ class TestConvParity:
         np.testing.assert_allclose(np.asarray(yj), yt, rtol=1e-5, atol=1e-5)
 
 
+class TestIm2colConv:
+    """The narrow-input im2col lowering (``conv.py::_conv_im2col``) must be
+    numerically identical to XLA's conv for every (k, stride, padding) it
+    gates on — it is the default path for RGB entry convs."""
+
+    @pytest.mark.parametrize(
+        "cin,k,stride,padding",
+        [
+            (3, 5, 2, (1, 2, 1, 2)),   # plain g_a layer 0 (model/net.py:97-98)
+            (3, 3, 1, 1),              # rich g_a RB convs / HAN first conv
+            (3, 3, 2, 1),              # ResidualBlockWithStride entry
+            (16, 3, 1, 1),             # syntax-width feature maps
+            (3, 7, 1, 3),              # conv7x7 on narrow inputs
+        ],
+    )
+    def test_matches_xla_conv(self, cin, k, stride, padding):
+        from lic_tpu.layers.conv import _conv_im2col, _use_im2col
+
+        assert _use_im2col(cin, k)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, 18, 14, cin)).astype(np.float32))
+        w = jnp.asarray(
+            rng.standard_normal((k, k, cin, 32)).astype(np.float32) * 0.1
+        )
+        from lic_tpu.layers.conv import _norm_padding
+
+        ref = jax.lax.conv_general_dilated(
+            x, w, window_strides=(stride, stride),
+            padding=_norm_padding(padding),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        got = _conv_im2col(x, w, stride, padding)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_gradients_match_xla(self):
+        from lic_tpu.layers.conv import _conv_im2col, _norm_padding
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((1, 12, 10, 3)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((5, 5, 3, 8)).astype(np.float32) * 0.1)
+
+        def loss_im2col(xx, ww):
+            return jnp.sum(_conv_im2col(xx, ww, 2, (1, 2, 1, 2)) ** 2)
+
+        def loss_ref(xx, ww):
+            y = jax.lax.conv_general_dilated(
+                xx, ww, window_strides=(2, 2),
+                padding=_norm_padding((1, 2, 1, 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return jnp.sum(y ** 2)
+
+        gx1, gw1 = jax.grad(loss_im2col, (0, 1))(x, w)
+        gx2, gw2 = jax.grad(loss_ref, (0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-4, atol=1e-5)
+
+    def test_switch_off_restores_xla_path(self):
+        from lic_tpu.layers.conv import set_im2col_conv
+
+        m = Conv2d(8, kernel_size=5, stride=2, padding=(1, 2, 1, 2))
+        x = jnp.asarray(
+            np.random.default_rng(5).standard_normal((1, 16, 16, 3)).astype(np.float32)
+        )
+        params = m.init(jax.random.PRNGKey(0), x)
+        y_on = m.apply(params, x)
+        try:
+            set_im2col_conv(False)
+            y_off = m.apply(params, x)
+        finally:
+            set_im2col_conv(True)
+        np.testing.assert_allclose(
+            np.asarray(y_on), np.asarray(y_off), rtol=2e-5, atol=2e-5
+        )
+
+
 class TestGDN:
     def _torch_gdn(self, x, beta_p, gamma_p, inverse):
         """Reference model/gdn.py forward (fp32)."""
