@@ -110,6 +110,25 @@ def _use_im2col(cin: int, k: int) -> bool:
     return _IM2COL_CONV and k > 1 and cin < 64 and cin * k * k <= 512
 
 
+# Tiny-channel lowering switch (1×1-as-matmul + VPU stencil) — see the
+# lowering functions below.  Default set by measurement
+# (scripts/perf_probe_r3.py § ResidualBottleneck(3)).
+_TINY_CONV = False
+
+
+def set_tiny_conv(enabled: bool) -> None:
+    global _TINY_CONV
+    _TINY_CONV = bool(enabled)
+
+
+def _use_1x1_matmul(cin: int, cout: int, k: int) -> bool:
+    return _TINY_CONV and k == 1 and min(cin, cout) < 16
+
+
+def _use_stencil(cin: int, cout: int, k: int, stride: int) -> bool:
+    return _TINY_CONV and k > 1 and stride == 1 and cin * cout <= 32
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _conv_im2col(x: jax.Array, kernel: jax.Array, stride: int, padding) -> jax.Array:
     k = kernel.shape[0]
@@ -163,7 +182,53 @@ def _conv_im2col_bwd(stride, padding, res, g):
 _conv_im2col.defvjp(_conv_im2col_fwd, _conv_im2col_bwd)
 
 
-def _xla_conv5s2(x: jax.Array, kernel: jax.Array) -> jax.Array:
+# Tiny-channel lowerings.  The rich transforms' entry stack runs
+# ResidualBottleneck(3) at FULL resolution: conv1x1 3→1, conv3x3 1→1,
+# conv1x1 1→3 — XLA's conv op on 1–3-lane operands is pathological (the
+# flagship g_a bill, scripts/profile_ga.py).  These ops are not matmul
+# problems at all:
+#   * a 1×1 conv IS a dot over channels — lower it as one;
+#   * a k×k conv with cin·cout ≤ ~32 is a VPU stencil: Σ_taps w·shift(x),
+#     k²·cin·cout multiply-adds per pixel, HBM-bound.
+# Both are exact (same adds in a different order → fp32-tight).
+
+
+def _conv_1x1_matmul(x: jax.Array, kernel: jax.Array, stride: int) -> jax.Array:
+    if stride != 1:
+        x = x[:, ::stride, ::stride, :]
+    b, h, w, cin = x.shape
+    y = lax.dot_general(
+        x.reshape(b * h * w, cin),
+        kernel.reshape(cin, -1),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y.reshape(b, h, w, -1).astype(x.dtype)
+
+
+def _conv_stencil(
+    x: jax.Array, kernel: jax.Array, stride: int, padding
+) -> jax.Array:
+    k = kernel.shape[0]
+    (pt, pb), (pleft, pright) = _norm_padding(padding)
+    xp = jnp.pad(x, ((0, 0), (pt, pb), (pleft, pright), (0, 0)))
+    b, hp, wp, cin = xp.shape
+    cout = kernel.shape[-1]
+    ho = (hp - k) // stride + 1
+    wo = (wp - k) // stride + 1
+    acc = jnp.zeros((b, ho, wo, cout), jnp.float32)
+    for a in range(k):
+        for bb in range(k):
+            sl = lax.slice(
+                xp,
+                (0, a, bb, 0),
+                (b, a + (ho - 1) * stride + 1, bb + (wo - 1) * stride + 1, cin),
+                (1, stride, stride, 1),
+            ).astype(jnp.float32)
+            # (B,H,W,cin) × (cin,cout) — cin·cout ≤ ~32: a broadcast
+            # multiply-add chain the VPU eats, not a matmul
+            acc = acc + jnp.einsum("bhwi,io->bhwo", sl, kernel[a, bb].astype(jnp.float32))
+    return acc.astype(x.dtype)
     return lax.conv_general_dilated(
         x, kernel, window_strides=(2, 2),
         padding=((1, 2), (1, 2)),
@@ -245,6 +310,14 @@ class Conv2d(nn.Module):
             )
             y = _conv_im2col(
                 x.astype(dtype), kernel.astype(dtype), self.stride, pad
+            )
+        elif _use_1x1_matmul(x.shape[-1], self.features, k) and self.padding == 0:
+            y = _conv_1x1_matmul(
+                x.astype(dtype), kernel.astype(dtype), self.stride
+            )
+        elif _use_stencil(x.shape[-1], self.features, k, self.stride):
+            y = _conv_stencil(
+                x.astype(dtype), kernel.astype(dtype), self.stride, self.padding
             )
         else:
             y = lax.conv_general_dilated(

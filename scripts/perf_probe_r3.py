@@ -103,6 +103,34 @@ def main():
         except Exception as e:
             print(f"  pallas v2   : FAILED {type(e).__name__}: {e}")
 
+    # ---- tiny-channel stages (the flagship g_a entry stack) ----------
+    from lic_tpu.layers import ResidualBottleneck
+    from lic_tpu.layers.conv import set_tiny_conv
+
+    x3 = jnp.asarray(
+        rng.standard_normal((8, 512, 768, 3)).astype(np.float32)
+    ).astype(dt)
+    rb = ResidualBottleneck(3)
+    rb_params = rb.init(jax.random.PRNGKey(0), x3)["params"]
+
+    def run_rb(tag):
+        f = jax.jit(lambda p, xx: rb.apply({"params": p}, xx))
+        t = timeit(lambda: f(rb_params, x3))
+        print(f"  RB(3) @512x768 {tag:12s}: {t:7.2f} ms")
+        return f(rb_params, x3)
+
+    print("== ResidualBottleneck(3) @512x768 b8 (bf16) ==")
+    ref_rb = run_rb("xla")
+    try:
+        set_tiny_conv(True)
+        got_rb = run_rb("tiny-lower")
+        rel = float(
+            jnp.max(jnp.abs(got_rb.astype(jnp.float32) - ref_rb.astype(jnp.float32)))
+        )
+        print(f"  tiny-lower max abs err: {rel:.2e}")
+    finally:
+        set_tiny_conv(False)
+
     # correctness spot-check of v2 on device
     x = jnp.asarray(
         rng.standard_normal((2, 64, 96, 192)).astype(np.float32)

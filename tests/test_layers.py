@@ -186,6 +186,60 @@ class TestIm2colConv:
         )
 
 
+class TestTinyConvLowerings:
+    """1×1-as-matmul and VPU-stencil lowerings for the tiny-channel convs
+    of the rich transforms' entry stack (ResidualBottleneck(3))."""
+
+    @pytest.mark.parametrize(
+        "cin,cout,k,stride,padding",
+        [
+            (3, 1, 1, 1, 0),    # RB(3) squeeze
+            (1, 3, 1, 1, 0),    # RB(3) expand
+            (3, 192, 1, 2, 0),  # RBS strided skip
+            (1, 1, 3, 1, 1),    # RB(3) middle 3x3
+            (3, 8, 3, 1, 1),
+        ],
+    )
+    def test_matches_xla(self, cin, cout, k, stride, padding):
+        from lic_tpu.layers.conv import set_tiny_conv
+
+        m = Conv2d(cout, kernel_size=k, stride=stride, padding=padding)
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((2, 16, 12, cin)).astype(np.float32))
+        params = m.init(jax.random.PRNGKey(0), x)
+        ref = m.apply(params, x)
+        try:
+            set_tiny_conv(True)
+            got = m.apply(params, x)
+        finally:
+            set_tiny_conv(False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_gradients_flow(self):
+        from lic_tpu.layers.conv import set_tiny_conv
+        from lic_tpu.layers import ResidualBottleneck
+
+        rb = ResidualBottleneck(3)
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.standard_normal((1, 16, 16, 3)).astype(np.float32))
+        params = rb.init(jax.random.PRNGKey(0), x)
+
+        def loss(p, xx):
+            return jnp.sum(rb.apply(p, xx) ** 2)
+
+        g_ref = jax.grad(loss, 1)(params, x)
+        try:
+            set_tiny_conv(True)
+            g_tiny = jax.grad(loss, 1)(params, x)
+        finally:
+            set_tiny_conv(False)
+        np.testing.assert_allclose(
+            np.asarray(g_tiny), np.asarray(g_ref), rtol=1e-4, atol=1e-5
+        )
+
+
 class TestGDN:
     def _torch_gdn(self, x, beta_p, gamma_p, inverse):
         """Reference model/gdn.py forward (fp32)."""
