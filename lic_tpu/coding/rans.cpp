@@ -178,11 +178,35 @@ long rans_encode_indexed(
   return (long)enc.flush(out, (size_t)out_cap);
 }
 
+// First-level slot lookup: lut[row][cum >> 8] = largest slot s with
+// cdf[s] <= (cum >> 8) << 8.  Turns the per-symbol binary search (~7
+// probes, each a potential cache miss on a cold CDF row) into one lookup
+// plus a short forward scan within the 256-wide bucket.  Gaussian CDFs
+// concentrate mass in a few slots, so the scan is 0–2 steps on average.
+constexpr uint32_t kLutBits = 8;
+constexpr uint32_t kLutSize = 1u << kLutBits;
+
+void rans_build_lut(
+    const uint32_t* cdfs, long rows, long row_len, uint16_t* lut) {
+  long nsyms = row_len - 2;
+  for (long r = 0; r < rows; ++r) {
+    const uint32_t* cdf = cdfs + r * row_len;
+    uint16_t* row = lut + r * kLutSize;
+    long slot = 0;
+    for (uint32_t b = 0; b < kLutSize; ++b) {
+      uint32_t cum = b << (kProbBits - kLutBits);
+      while (slot < nsyms && cdf[slot + 1] <= cum) ++slot;
+      row[b] = (uint16_t)slot;
+    }
+  }
+}
+
 static void decode_symbols(
     RansDecoder& dec,
     const int32_t* indexes, long n,
     const uint32_t* cdfs, long row_len,
     const int32_t* offsets,
+    const uint16_t* lut,  // nullable: fall back to binary search
     int32_t* out) {
   long nsyms = row_len - 2;
   for (long i = 0; i < n; ++i) {
@@ -190,13 +214,18 @@ static void decode_symbols(
     const uint32_t* cdf = cdfs + (long)idx * row_len;
     int32_t off = offsets[idx];
     uint32_t cum = dec.peek();
-    // binary search over the CDF slots [0, nsyms] (incl. escape)
-    long lo = 0, hi = nsyms;
-    while (lo < hi) {
-      long mid = (lo + hi + 1) >> 1;
-      if (cdf[mid] <= cum) lo = mid; else hi = mid - 1;
+    long slot;
+    if (lut != nullptr) {
+      slot = lut[(long)idx * kLutSize + (cum >> (kProbBits - kLutBits))];
+      while (slot < nsyms && cdf[slot + 1] <= cum) ++slot;
+    } else {
+      long lo = 0, hi = nsyms;
+      while (lo < hi) {
+        long mid = (lo + hi + 1) >> 1;
+        if (cdf[mid] <= cum) lo = mid; else hi = mid - 1;
+      }
+      slot = lo;
     }
-    long slot = lo;
     dec.advance(cdf[slot], cdf[slot + 1] - cdf[slot]);
     if (slot < nsyms) {
       out[i] = (int32_t)(slot + off);
@@ -213,10 +242,11 @@ long rans_decode_indexed(
     const int32_t* indexes, long n,
     const uint32_t* cdfs, long row_len,
     const int32_t* offsets,
+    const uint16_t* lut,
     int32_t* out) {
   RansDecoder dec;
   dec.init(in, (size_t)n_bytes);
-  decode_symbols(dec, indexes, n, cdfs, row_len, offsets, out);
+  decode_symbols(dec, indexes, n, cdfs, row_len, offsets, lut, out);
   // Integrity: decoding the exact encoder output must return the state to
   // the initial interval bound with every word consumed; truncated or
   // corrupt streams fail one of these instead of silently yielding zeros.
@@ -248,9 +278,10 @@ long rans_stream_decode(
     const int32_t* indexes, long n,
     const uint32_t* cdfs, long row_len,
     const int32_t* offsets,
+    const uint16_t* lut,
     int32_t* out) {
   RansStream* s = (RansStream*)handle;
-  decode_symbols(s->dec, indexes, n, cdfs, row_len, offsets, out);
+  decode_symbols(s->dec, indexes, n, cdfs, row_len, offsets, lut, out);
   return s->dec.overrun ? -1 : n;
 }
 

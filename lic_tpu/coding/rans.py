@@ -41,23 +41,28 @@ def _lib() -> ctypes.CDLL:
         lib = ctypes.CDLL(_SO)
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         lib.rans_encode_indexed.restype = ctypes.c_long
         lib.rans_encode_indexed.argtypes = [
             i32p, i32p, ctypes.c_long, u32p, ctypes.c_long, i32p,
             u8p, ctypes.c_long,
         ]
+        lib.rans_build_lut.restype = None
+        lib.rans_build_lut.argtypes = [
+            u32p, ctypes.c_long, ctypes.c_long, u16p,
+        ]
         lib.rans_decode_indexed.restype = ctypes.c_long
         lib.rans_decode_indexed.argtypes = [
             u8p, ctypes.c_long, i32p, ctypes.c_long, u32p, ctypes.c_long,
-            i32p, i32p,
+            i32p, u16p, i32p,
         ]
         lib.rans_stream_create.restype = ctypes.c_void_p
         lib.rans_stream_create.argtypes = [u8p, ctypes.c_long]
         lib.rans_stream_decode.restype = ctypes.c_long
         lib.rans_stream_decode.argtypes = [
             ctypes.c_void_p, i32p, ctypes.c_long, u32p, ctypes.c_long,
-            i32p, i32p,
+            i32p, u16p, i32p,
         ]
         lib.rans_stream_finish.restype = ctypes.c_long
         lib.rans_stream_finish.argtypes = [ctypes.c_void_p]
@@ -116,6 +121,13 @@ class RansCodec:
         self.row_len = self.cdfs.shape[1]
         self.offsets = np.ascontiguousarray(offsets, np.int32)
         assert self.offsets.shape[0] == self.cdfs.shape[0]
+        # First-level decode LUT (cum >> 8 → slot): replaces the per-symbol
+        # binary search with one lookup + a short in-bucket scan (the 1-vCPU
+        # host's rANS decode is a measured ~0.26 s of the batch roundtrip).
+        self.lut = np.empty((self.cdfs.shape[0], 256), np.uint16)
+        _lib().rans_build_lut(
+            self.cdfs, self.cdfs.shape[0], self.row_len, self.lut
+        )
 
     def encode(self, symbols: np.ndarray, indexes: np.ndarray) -> bytes:
         symbols = np.ascontiguousarray(symbols.reshape(-1), np.int32)
@@ -138,7 +150,7 @@ class RansCodec:
         out = np.empty(indexes.size, np.int32)
         rc = _lib().rans_decode_indexed(
             buf, buf.size, indexes, indexes.size, self.cdfs, self.row_len,
-            self.offsets, out,
+            self.offsets, self.lut, out,
         )
         if rc < 0:
             raise ValueError(
@@ -169,7 +181,7 @@ class RansStreamDecoder:
         out = np.empty(indexes.size, np.int32)
         rc = _lib().rans_stream_decode(
             self._handle, indexes, indexes.size, self._codec.cdfs,
-            self._codec.row_len, self._codec.offsets, out,
+            self._codec.row_len, self._codec.offsets, self._codec.lut, out,
         )
         if rc < 0:
             _lib().rans_stream_destroy(self._handle)

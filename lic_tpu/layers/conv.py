@@ -111,9 +111,10 @@ def _use_im2col(cin: int, k: int) -> bool:
 
 
 # Tiny-channel lowering switch (1×1-as-matmul + VPU stencil) — see the
-# lowering functions below.  Default set by measurement
-# (scripts/perf_probe_r3.py § ResidualBottleneck(3)).
-_TINY_CONV = False
+# lowering functions below.  Default ON by measurement
+# (scripts/perf_probe_r3.py § ResidualBottleneck(3) @512×768 b8 bf16:
+# 11.55 ms XLA convs → 3.22 ms, bit-exact; ×3 blocks in the rich g_a).
+_TINY_CONV = True
 
 
 def set_tiny_conv(enabled: bool) -> None:
@@ -127,6 +128,52 @@ def _use_1x1_matmul(cin: int, cout: int, k: int) -> bool:
 
 def _use_stencil(cin: int, cout: int, k: int, stride: int) -> bool:
     return _TINY_CONV and k > 1 and stride == 1 and cin * cout <= 32
+
+
+# Narrow-input stride-2 convs (plain g_a layer 0: 5×5 3→192; rich rbs0:
+# 3×3 3→192) via s2d + contiguous-slice im2col + one dot — see
+# layers/s2d_conv.py::conv_s2d_im2col.  Default set by measurement.
+_NARROW_S2D = False
+
+
+def set_narrow_s2d(enabled: bool) -> None:
+    global _NARROW_S2D
+    _NARROW_S2D = bool(enabled)
+
+
+def _use_narrow_s2d(cin: int, k: int, stride: int, padding, h: int, w: int) -> bool:
+    if not (_NARROW_S2D and stride == 2 and cin <= 8 and h % 2 == 0 and w % 2 == 0):
+        return False
+    return (k == 5 and padding == (1, 2, 1, 2)) or (k == 3 and padding == 1)
+
+
+@jax.custom_vjp
+def _conv_narrow_s2d(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    from .s2d_conv import conv_s2d_im2col
+
+    return conv_s2d_im2col(x, kernel)
+
+
+def _conv_narrow_s2d_fwd(x, kernel):
+    return _conv_narrow_s2d(x, kernel), (x, kernel)
+
+
+def _conv_narrow_s2d_bwd(res, g):
+    x, kernel = res
+    k = kernel.shape[0]
+    pad = ((1, 2), (1, 2)) if k == 5 else ((1, 1), (1, 1))
+
+    def ref(xx, kk):
+        return lax.conv_general_dilated(
+            xx, kk, window_strides=(2, 2), padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    _, vjp = jax.vjp(ref, x, kernel)
+    return vjp(g.astype(x.dtype))
+
+
+_conv_narrow_s2d.defvjp(_conv_narrow_s2d_fwd, _conv_narrow_s2d_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -311,6 +358,10 @@ class Conv2d(nn.Module):
             y = _conv_im2col(
                 x.astype(dtype), kernel.astype(dtype), self.stride, pad
             )
+        elif _use_narrow_s2d(
+            x.shape[-1], k, self.stride, self.padding, x.shape[1], x.shape[2]
+        ):
+            y = _conv_narrow_s2d(x.astype(dtype), kernel.astype(dtype))
         elif _use_1x1_matmul(x.shape[-1], self.features, k) and self.padding == 0:
             y = _conv_1x1_matmul(
                 x.astype(dtype), kernel.astype(dtype), self.stride

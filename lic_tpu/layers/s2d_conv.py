@@ -39,6 +39,67 @@ def s2d_kernel_from_5x5(kernel: jax.Array) -> jax.Array:
     return out
 
 
+def s2d_kernel_from_odd(kernel: jax.Array) -> jax.Array:
+    """(k, k, cin, cout), k odd → (k', k', 4·cin, cout), k' = k//2+1.
+
+    Generalizes :func:`s2d_kernel_from_5x5` to any odd k with the same
+    (2,2)-outer-pad alignment (tap a → cell (a+1)//2, phase (a+1)%2)."""
+    k, _, cin, cout = kernel.shape
+    kp = k // 2 + 1
+    out = jnp.zeros((kp, kp, 4 * cin, cout), kernel.dtype)
+    for a in range(k):
+        jh, rh = (a + 1) // 2, (a + 1) % 2
+        for b_ in range(k):
+            jw, rw = (b_ + 1) // 2, (b_ + 1) % 2
+            block = (rh * 2 + rw) * cin
+            out = out.at[jh, jw, block : block + cin, :].set(kernel[a, b_])
+    return out
+
+
+def conv_s2d_im2col(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Narrow-input stride-2 conv as s2d + contiguous-slice im2col + ONE dot.
+
+    For C_in ≤ ~8 XLA's strided conv is MXU-starved (3 of 128 systolic
+    rows) and the plain im2col's strided slices on a 3-lane tensor lower
+    pathologically (scripts/perf_probe_r3.py).  This path: space-to-depth
+    (one cheap transpose of a tiny tensor) → k' = k//2+1 CONTIGUOUS
+    slices of the 4·C_in-channel grid, concatenated → a single
+    (B·H'·W', k'²·4·C_in) × (k'²·4·C_in, C_out) matmul with a real K dim.
+
+    Implements the reference's two stride-2 paddings: k=5 with
+    ZeroPad2d((1,2,1,2)) and k=3 with padding=1 — both align on the same
+    (2,2)-outer-pad s2d grid.  Bit-parity with the direct conv is tested.
+    """
+    b, h, w, cin = x.shape
+    k = kernel.shape[0]
+    cout = kernel.shape[-1]
+    assert k % 2 == 1 and h % 2 == 0 and w % 2 == 0
+    kp = k // 2 + 1
+    ho, wo = h // 2, w // 2
+    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    hp, wp = h + 4, w + 4
+    xs = xp.reshape(b, hp // 2, 2, wp // 2, 2, cin)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp // 2, wp // 2, 4 * cin)
+    cols = jnp.concatenate(
+        [
+            jax.lax.slice(
+                xs, (0, jh, jw, 0), (b, jh + ho, jw + wo, 4 * cin)
+            )
+            for jh in range(kp)
+            for jw in range(kp)
+        ],
+        axis=-1,
+    )
+    ks = s2d_kernel_from_odd(kernel).reshape(kp * kp * 4 * cin, cout)
+    y = jax.lax.dot_general(
+        cols.reshape(b * ho * wo, kp * kp * 4 * cin),
+        ks,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y.reshape(b, ho, wo, cout).astype(x.dtype)
+
+
 def conv5s2_s2d(
     x: jax.Array,
     kernel: jax.Array,  # (5, 5, cin, cout)

@@ -83,6 +83,28 @@ def main():
     print(f"  im2col      : {t:7.2f} ms  {gf / t:6.1f} TF/s")
     t = timeit(lambda: s2d_j(x, k))
     print(f"  s2d 3x3     : {t:7.2f} ms  {gf / t:6.1f} TF/s")
+    from lic_tpu.layers.s2d_conv import conv_s2d_im2col
+
+    s2i_j = jax.jit(conv_s2d_im2col)
+    t = timeit(lambda: s2i_j(x, k))
+    print(f"  s2d+im2col  : {t:7.2f} ms  {gf / t:6.1f} TF/s")
+
+    # rbs0 entry: 3x3/s2 3->192 @512x768 (rich transforms)
+    k3 = jnp.asarray(
+        rng.standard_normal((3, 3, 3, 192)).astype(np.float32) * 0.05
+    ).astype(dt)
+    gf3 = 2 * 8 * 256 * 384 * 9 * 3 * 192 / 1e9
+    xla3_j = jax.jit(
+        lambda xx, kk: jax.lax.conv_general_dilated(
+            xx, kk, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    )
+    print("== rbs0 conv 3x3/s2 3->192 @512x768 b8 (bf16) ==")
+    t = timeit(lambda: xla3_j(x, k3))
+    print(f"  XLA strided : {t:7.2f} ms  {gf3 / t:6.1f} TF/s")
+    t = timeit(lambda: s2i_j(x, k3))
+    print(f"  s2d+im2col  : {t:7.2f} ms  {gf3 / t:6.1f} TF/s")
 
     for (h, w) in [(256, 384), (128, 192)]:
         print(f"== conv5s2 192->192 @{h}x{w} b8 (bf16) ==")

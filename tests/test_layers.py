@@ -217,6 +217,37 @@ class TestTinyConvLowerings:
             np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
+    @pytest.mark.parametrize("k,padding", [(5, (1, 2, 1, 2)), (3, 1)])
+    def test_narrow_s2d_matches_xla(self, k, padding):
+        from lic_tpu.layers.conv import set_narrow_s2d
+
+        m = Conv2d(24, kernel_size=k, stride=2, padding=padding)
+        rng = np.random.default_rng(13)
+        x = jnp.asarray(rng.standard_normal((2, 20, 16, 3)).astype(np.float32))
+        params = m.init(jax.random.PRNGKey(0), x)
+        ref = m.apply(params, x)
+        try:
+            set_narrow_s2d(True)
+            got = m.apply(params, x)
+
+            def loss(v):
+                return jnp.sum(m.apply(params, v) ** 2)
+
+            g_s2d = jax.grad(loss)(x)
+        finally:
+            set_narrow_s2d(False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+        def loss_ref(v):
+            return jnp.sum(m.apply(params, v) ** 2)
+
+        g_ref = jax.grad(loss_ref)(x)
+        np.testing.assert_allclose(
+            np.asarray(g_s2d), np.asarray(g_ref), rtol=1e-4, atol=1e-5
+        )
+
     def test_gradients_flow(self):
         from lic_tpu.layers.conv import set_tiny_conv
         from lic_tpu.layers import ResidualBottleneck
