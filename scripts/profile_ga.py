@@ -87,6 +87,22 @@ def main():
                  WinNoShiftAttention(n, 8, 4, 2), (32, 48, n))
     print(f"  {'sum (rb0/rb1 counted once of 3)':34s} {tot:8.2f} ms")
 
+    # ---- wam0 internals @128x192 (the 52 ms hotspot) -----------------
+    from lic_tpu.layers import ResidualBlock, WinBasedAttention
+
+    print("wam0 internals @128x192 b8 bf16:")
+    stage("conv3x3 192ch (130.5 GF)",
+          Conv2d(n, kernel_size=3, padding=1), (128, 192, n))
+    stage("conv7x7 192ch (710 GF)",
+          Conv2d(n, kernel_size=7, padding=3), (128, 192, n))
+    stage("conv1x1 192ch (14.5 GF)",
+          Conv2d(n, kernel_size=1), (128, 192, n))
+    stage("ResidualBlock(192) x1 of 6",
+          ResidualBlock(n), (128, 192, n))
+    stage("WinBasedAttention ws8 ss4 x1 of 4",
+          WinBasedAttention(dim=n, num_heads=8, window_size=8, shift_size=4),
+          (128, 192, n))
+
 
 if __name__ == "__main__":
     main()
