@@ -296,4 +296,189 @@ long rans_stream_finish(void* handle) {
 
 void rans_stream_destroy(void* handle) { delete (RansStream*)handle; }
 
+// ---- rans16: lane-parallel streams for the ON-DEVICE (TPU) decoder ----
+//
+// 32-bit state, 16-bit renormalization (ryg rans16 style), kProbBits=16
+// CDF tables shared with the 64-bit coder above.  Symbols are split
+// round-robin across L independent lane streams in DECODE order (lane =
+// flat_index mod L within each AR step), so a vectorized decoder holds L
+// states + read pointers as vectors and decodes one symbol per lane per
+// chunk with pure SIMD ops — no host round trips inside an autoregressive
+// loop.  At most ONE 16-bit renorm per symbol decode (state ≥ 1 after
+// advance; one word restores state ≥ 2^16), which is what makes the
+// branchless vector decode possible.
+//
+// Escapes use the same 4-bit-chunk bypass scheme as the 64-bit coder
+// (count first on decode, then chunks MSB-first).
+
+namespace {
+
+constexpr uint32_t kLaneL = 1u << 16;  // lower bound of the lane interval
+
+struct Rans16Encoder {
+  uint32_t state = kLaneL;
+  std::vector<uint16_t> words;  // emitted backwards
+
+  inline void put(uint32_t start, uint32_t freq) {
+    uint64_t x_max = (uint64_t)freq << 16;  // (L >> kProbBits) << 16) * freq
+    while (state >= x_max) {
+      words.push_back((uint16_t)state);
+      state >>= 16;
+    }
+    state = ((state / freq) << kProbBits) + (state % freq) + start;
+  }
+
+  inline void put_bits(uint32_t val, uint32_t nbits) {
+    uint64_t x_max = (uint64_t)1 << (32 - nbits);
+    while (state >= x_max) {
+      words.push_back((uint16_t)state);
+      state >>= 16;
+    }
+    state = (state << nbits) + val;
+  }
+
+  // append forward-readable words to out; returns word count
+  size_t flush(std::vector<uint16_t>& out) {
+    std::vector<uint16_t> fin = words;
+    fin.push_back((uint16_t)state);
+    fin.push_back((uint16_t)(state >> 16));
+    for (size_t i = 0; i < fin.size(); ++i)
+      out.push_back(fin[fin.size() - 1 - i]);
+    return fin.size();
+  }
+};
+
+struct Rans16Decoder {
+  uint32_t state = 0;
+  const uint16_t* ptr;
+  const uint16_t* end;
+  bool overrun = false;
+
+  void init(const uint16_t* in, size_t nwords) {
+    ptr = in;
+    end = in + nwords;
+    uint32_t hi = read_word();
+    uint32_t lo = read_word();
+    state = (hi << 16) | lo;
+  }
+
+  inline uint32_t read_word() {
+    if (ptr >= end) {
+      overrun = true;
+      return 0;
+    }
+    return *ptr++;
+  }
+
+  inline uint32_t peek() const { return state & 0xFFFFu; }
+
+  inline void advance(uint32_t start, uint32_t freq) {
+    state = freq * (state >> kProbBits) + peek() - start;
+    if (state < kLaneL) state = (state << 16) | read_word();
+  }
+
+  inline uint32_t get_bits(uint32_t nbits) {
+    uint32_t val = state & ((1u << nbits) - 1);
+    state >>= nbits;
+    if (state < kLaneL) state = (state << 16) | read_word();
+    return val;
+  }
+};
+
+inline void bypass_encode16(Rans16Encoder& enc, uint32_t u) {
+  uint32_t chunks[12];
+  int n = 0;
+  do {
+    chunks[n++] = u & kBypassMax;
+    u >>= kBypassBits;
+  } while (u != 0);
+  for (int i = 0; i < n; ++i) enc.put_bits(chunks[i], kBypassBits);
+  enc.put_bits((uint32_t)(n - 1), kBypassBits);
+}
+
+inline uint32_t bypass_decode16(Rans16Decoder& dec) {
+  uint32_t n = dec.get_bits(kBypassBits) + 1;
+  uint32_t u = 0;
+  for (uint32_t i = 0; i < n; ++i)
+    u = (u << kBypassBits) | dec.get_bits(kBypassBits);
+  return u;
+}
+
+}  // namespace
+
+// Encode per-lane contiguous segments (the caller pre-sorts symbols into
+// decode order per lane).  lane_starts: (L+1) prefix offsets into
+// symbols/indexes.  Payload: lanes concatenated, each forward-readable.
+// word_counts (L) receives each lane's word count.  Returns total words
+// written, or -1 on overflow.
+long rans16_encode_lanes(
+    const int32_t* symbols, const int32_t* indexes,
+    const int64_t* lane_starts, long n_lanes,
+    const uint32_t* cdfs, long row_len,
+    const int32_t* offsets,
+    uint16_t* out, long out_cap_words, int32_t* word_counts) {
+  long nsyms = row_len - 2;
+  std::vector<uint16_t> all;
+  for (long lane = 0; lane < n_lanes; ++lane) {
+    Rans16Encoder enc;
+    int64_t lo = lane_starts[lane], hi = lane_starts[lane + 1];
+    for (int64_t i = hi - 1; i >= lo; --i) {  // LIFO within the lane
+      int32_t idx = indexes[i];
+      const uint32_t* cdf = cdfs + (long)idx * row_len;
+      int32_t off = offsets[idx];
+      int64_t slot = (int64_t)symbols[i] - off;
+      if (slot >= 0 && slot < nsyms) {
+        enc.put(cdf[slot], cdf[slot + 1] - cdf[slot]);
+      } else {
+        int64_t delta = slot < 0 ? slot : slot - (nsyms - 1);
+        bypass_encode16(enc, zigzag((int32_t)delta));
+        enc.put(cdf[nsyms], cdf[nsyms + 1] - cdf[nsyms]);
+      }
+    }
+    word_counts[lane] = (int32_t)enc.flush(all);
+  }
+  if ((long)all.size() > out_cap_words) return -1;
+  std::memcpy(out, all.data(), all.size() * 2);
+  return (long)all.size();
+}
+
+// Host-side mirror of the device decoder (tests + fallback).  indexes are
+// in per-lane contiguous order (same layout the encoder saw).  Returns 0
+// on clean end-of-stream for every lane, -1 otherwise.
+long rans16_decode_lanes(
+    const uint16_t* in, const int64_t* lane_word_starts,
+    const int32_t* indexes, const int64_t* lane_starts, long n_lanes,
+    const uint32_t* cdfs, long row_len,
+    const int32_t* offsets,
+    int32_t* out) {
+  long nsyms = row_len - 2;
+  bool ok = true;
+  for (long lane = 0; lane < n_lanes; ++lane) {
+    Rans16Decoder dec;
+    dec.init(in + lane_word_starts[lane],
+             (size_t)(lane_word_starts[lane + 1] - lane_word_starts[lane]));
+    for (int64_t i = lane_starts[lane]; i < lane_starts[lane + 1]; ++i) {
+      int32_t idx = indexes[i];
+      const uint32_t* cdf = cdfs + (long)idx * row_len;
+      int32_t off = offsets[idx];
+      uint32_t cum = dec.peek();
+      long lo = 0, hi = nsyms;
+      while (lo < hi) {
+        long mid = (lo + hi + 1) >> 1;
+        if (cdf[mid] <= cum) lo = mid; else hi = mid - 1;
+      }
+      dec.advance(cdf[lo], cdf[lo + 1] - cdf[lo]);
+      if (lo < nsyms) {
+        out[i] = (int32_t)(lo + off);
+      } else {
+        int32_t delta = unzigzag(bypass_decode16(dec));
+        long base = delta < 0 ? 0 : (nsyms - 1);
+        out[i] = (int32_t)(base + delta + off);
+      }
+    }
+    ok = ok && !dec.overrun && dec.state == kLaneL && dec.ptr == dec.end;
+  }
+  return ok ? 0 : -1;
+}
+
 }  // extern "C"

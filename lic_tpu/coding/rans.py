@@ -68,6 +68,17 @@ def _lib() -> ctypes.CDLL:
         lib.rans_stream_finish.argtypes = [ctypes.c_void_p]
         lib.rans_stream_destroy.restype = None
         lib.rans_stream_destroy.argtypes = [ctypes.c_void_p]
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.rans16_encode_lanes.restype = ctypes.c_long
+        lib.rans16_encode_lanes.argtypes = [
+            i32p, i32p, i64p, ctypes.c_long, u32p, ctypes.c_long, i32p,
+            u16p, ctypes.c_long, i32p,
+        ]
+        lib.rans16_decode_lanes.restype = ctypes.c_long
+        lib.rans16_decode_lanes.argtypes = [
+            u16p, i64p, i32p, i64p, ctypes.c_long, u32p, ctypes.c_long,
+            i32p, i32p,
+        ]
         _LIB = lib
         return lib
 

@@ -21,6 +21,20 @@ from flax import linen as nn
 from .blocks import ResidualBlock
 from .conv import Conv2d
 
+# Global switch for the fused Pallas W-MSA kernel (see layers/pallas_attn.py).
+# Toggle with `set_pallas_attn(True)` — on-TPU the fused path removes the
+# ~400 MB fp32 logits round trip and all head-split/window relayouts.
+_PALLAS_ATTN = {"enabled": False, "interpret": False}
+
+
+def set_pallas_attn(enabled: bool, interpret: bool = False) -> None:
+    _PALLAS_ATTN["enabled"] = enabled
+    _PALLAS_ATTN["interpret"] = interpret
+
+
+def pallas_attn_enabled() -> bool:
+    return _PALLAS_ATTN["enabled"]
+
 
 def window_partition(x: jax.Array, window_size: int) -> jax.Array:
     """(B, H, W, C) → (B·nW, ws·ws, C)."""
@@ -102,19 +116,66 @@ class WindowAttention(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
-        bw, n, c = x.shape
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: jax.Array | None = None,
+        *,
+        mask_np: np.ndarray | None = None,
+        mask_key=None,
+    ) -> jax.Array:
         nh = self.num_heads
-        hd = c // nh
-        scale = hd ** -0.5
         ws = self.window_size
 
+        if x.ndim == 4:
+            # Fused Pallas path: x is the padded+rolled (B, Hp, Wp, C) map;
+            # windowing happens inside the kernel.  Same param tree as the
+            # windows path (Dense applies over the last axis either way).
+            from .pallas_attn import wba_fused_apply
+
+            b4, hp, wp, c = x.shape
+            n = ws * ws
+            qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(x)
+            bias_table = self.param(
+                "relative_position_bias_table",
+                nn.initializers.truncated_normal(stddev=0.02),
+                ((2 * ws - 1) * (2 * ws - 1), nh),
+                jnp.float32,
+            )
+            idx = relative_position_index(ws).reshape(-1)
+            # rel_flat[i, h·n+m] = bias[idx(i,m), h]
+            rel_flat = (
+                bias_table[idx]
+                .reshape(n, n, nh)
+                .transpose(0, 2, 1)
+                .reshape(n, nh * n)
+            )
+            out = wba_fused_apply(
+                qkv,
+                rel_flat,
+                mask_np,
+                mask_key,
+                ws=ws,
+                nh=nh,
+                interpret=_PALLAS_ATTN["interpret"],
+            )
+            return nn.Dense(
+                c, kernel_init=nn.initializers.zeros_init(), name="proj"
+            )(out)
+
+        bw, n, c = x.shape
+        hd = c // nh
+        scale = hd ** -0.5
+
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(x)
-        qkv = qkv.reshape(bw, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        # stay in (bw, n, nh, hd) layout — einsums carry the head dim as a
+        # batch axis directly, so no materialized (3, bw, nh, n, hd)
+        # transpose (a ~226 MB relayout per call at the wam0 shape)
+        qkv = qkv.reshape(bw, n, 3, nh, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         attn = jnp.einsum(
-            "bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32
+            "bnhd,bmhd->bhnm", q * scale, k, preferred_element_type=jnp.float32
         )
 
         bias_table = self.param(
@@ -135,8 +196,8 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(bw, nh, n, n)
 
         attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
-        out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(v.dtype), v)
+        out = out.reshape(bw, n, c)
         # zero-init residual projection (see layers.blocks.residual_out_init)
         return nn.Dense(
             c, kernel_init=nn.initializers.zeros_init(), name="proj"
@@ -167,20 +228,33 @@ class WinBasedAttention(nn.Module):
         # the output is cropped back, so divisible shapes are untouched.
         pad_b, pad_r = (-h) % ws, (-w) % ws
         hp, wp = h + pad_b, w + pad_r
-        if ss > 0 or pad_b or pad_r:
-            mask = jnp.asarray(swin_shift_mask(h, w, ws, ss, pad_b, pad_r))
-        else:
-            mask = None
+        need_mask = ss > 0 or pad_b or pad_r
+        mask_np = (
+            swin_shift_mask(h, w, ws, ss, pad_b, pad_r) if need_mask else None
+        )
         if pad_b or pad_r:
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         if ss > 0:
             x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
 
-        windows = window_partition(x, ws)
-        attn = WindowAttention(
+        attn_mod = WindowAttention(
             dim=c, window_size=ws, num_heads=self.num_heads, name="attn"
-        )(windows, mask=mask)
-        x = window_reverse(attn, ws, hp, wp)
+        )
+        if _PALLAS_ATTN["enabled"]:
+            from .pallas_attn import flatten_mask
+
+            flat = (
+                flatten_mask(mask_np, hp // ws, wp // ws, self.num_heads)
+                if need_mask
+                else None
+            )
+            key = ("wba", h, w, ws, ss, pad_b, pad_r, self.num_heads)
+            x = attn_mod(x, mask_np=flat, mask_key=key)
+        else:
+            mask = jnp.asarray(mask_np) if need_mask else None
+            windows = window_partition(x, ws)
+            attn = attn_mod(windows, mask=mask)
+            x = window_reverse(attn, ws, hp, wp)
 
         if ss > 0:
             x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))

@@ -174,43 +174,98 @@ class ChannelCoder:
                 method=CodecModel.charm_entropy_params,
             )
 
-        def enc_step_impl(p, m, s, sup, y, i):
-            mu, sigma, mean_support = eparams(p, m, s, sup, i)
-            sym = jnp.clip(jnp.round(y - mu), -_SYM_CLIP, _SYM_CLIP)
-            y_hat = model.apply(
-                {"params": p}, mean_support, sym + mu, i,
-                method=CodecModel.charm_apply_lrp,
-            )
-            return sym.astype(jnp.int16), _dev_scale_idx(sigma, tab), y_hat
-
-        def dec_idx_impl(p, m, s, sup, i):
-            # One entropy-params evaluation per slice: σ becomes the uint8
-            # scale-table index (the only thing fetched to host); μ and the
-            # mean support stay device-resident and feed the slim LRP-only
-            # apply step — the params are NOT recomputed after the host
-            # rANS decode.
-            mu, sigma, mean_support = eparams(p, m, s, sup, i)
-            return _dev_scale_idx(sigma, tab), mu, mean_support
-
-        def dec_apply_impl(p, mean_support, mu, sym16, i):
-            return model.apply(
-                {"params": p}, mean_support, sym16.astype(jnp.float32) + mu, i,
-                method=CodecModel.charm_apply_lrp,
-            )
-
         self._z_enc = partial(jax.jit(z_enc_impl), params)
         self._z_dec = partial(jax.jit(z_dec_impl), params)
-        self._enc_step, self._dec_idx, self._dec_apply = {}, {}, {}
-        for i in range(0 if self.is_entro else cfg.num_slices):
-            self._enc_step[i] = partial(
-                jax.jit(partial(enc_step_impl, i=i)), params
+
+        # ---- single-executable slice chain (device rANS) ------------
+        # ONE jitted pass runs the whole ChARM slice chain for BOTH
+        # directions: per slice it computes (μ, σ, scale-table rows), then
+        # either consumes this slice's symbols from the lane-parallel
+        # rans16 streams with the on-device decoder (decode mode) or takes
+        # them from the known latents (encode mode).  The mode is a TRACED
+        # flag, so encoder and decoder execute the *identical* compiled
+        # program — σ (hence every CDF row) agrees bit-for-bit by
+        # construction, and the decode's former 2-round-trips-per-slice
+        # ping-pong (round 2: ~12 RTTs/batch) collapses to ONE dispatch.
+        from ..coding.device_rans import DeviceRans16, Rans16LaneCodec
+
+        self.lane_codec = Rans16LaneCodec(
+            self.y_coder.codec.cdfs, self.y_coder.codec.offsets
+        )
+        self.dev_rans = DeviceRans16(
+            self.y_coder.codec.cdfs, self.y_coder.codec.offsets
+        )
+        self.charm_lanes = 64  # ~256 B/image overhead, plenty of SIMD width
+        dev, n_lanes = self.dev_rans, self.charm_lanes
+
+        def slices_pass_impl(p, z_hat, y, payload, wstarts, use_stream):
+            b = z_hat.shape[0]
+            scales, means = model.apply(
+                {"params": p}, z_hat, method=CodecModel.hyper_decode
             )
-            self._dec_idx[i] = partial(
-                jax.jit(partial(dec_idx_impl, i=i)), params
+            y_slices = jnp.split(y, cfg.num_slices, axis=-1)
+            lanes = dev.init_lanes(payload, wstarts)
+            lane_ids = jnp.arange(n_lanes, dtype=jnp.int32)[None, :]
+            supports, syms_out, rows_out = [], [], []
+            for i in range(cfg.num_slices):
+                sup = (
+                    supports[: cfg.max_support_slices]
+                    if cfg.max_support_slices >= 0
+                    else supports
+                )
+                mu, sigma, msup = model.apply(
+                    {"params": p}, means, scales, tuple(sup), i,
+                    method=CodecModel.charm_entropy_params,
+                )
+                rows = _dev_scale_idx(sigma, tab).astype(jnp.int32)
+                sym_enc = jnp.clip(
+                    jnp.round(y_slices[i] - mu), -_SYM_CLIP, _SYM_CLIP
+                ).astype(jnp.int32)
+
+                s_tot = rows.shape[1] * rows.shape[2] * rows.shape[3]
+                mc = -(-s_tot // n_lanes)
+                rows_pad = jnp.pad(
+                    rows.reshape(b, s_tot), ((0, 0), (0, mc * n_lanes - s_tot))
+                )
+
+                def chunk(k, st, rows_pad=rows_pad, s_tot=s_tot):
+                    lanes, out = st
+                    rk = jax.lax.dynamic_slice(
+                        rows_pad, (0, k * n_lanes), (b, n_lanes)
+                    )
+                    valid = (k * n_lanes + lane_ids) < s_tot
+                    vals, lanes = dev.decode_chunk(
+                        lanes, payload, rk.reshape(-1),
+                        jnp.broadcast_to(valid, (b, n_lanes)).reshape(-1),
+                    )
+                    out = jax.lax.dynamic_update_slice(
+                        out, vals.reshape(b, 1, n_lanes), (0, k, 0)
+                    )
+                    return lanes, out
+
+                lanes, dec = jax.lax.fori_loop(
+                    0, mc, chunk,
+                    (lanes, jnp.zeros((b, mc, n_lanes), jnp.int32)),
+                )
+                sym_dec = dec.reshape(b, -1)[:, :s_tot].reshape(rows.shape)
+                sym = jnp.where(use_stream != 0, sym_dec, sym_enc)
+                y_hat = model.apply(
+                    {"params": p}, msup, sym.astype(jnp.float32) + mu, i,
+                    method=CodecModel.charm_apply_lrp,
+                )
+                supports.append(y_hat)
+                syms_out.append(sym.astype(jnp.int16).reshape(b, -1))
+                rows_out.append(rows.astype(jnp.uint8).reshape(b, -1))
+            return (
+                jnp.concatenate(syms_out, axis=1),
+                jnp.concatenate(rows_out, axis=1),
+                jnp.concatenate(supports, axis=-1),
+                lanes.state,
+                lanes.ptr,
             )
-            self._dec_apply[i] = partial(
-                jax.jit(partial(dec_apply_impl, i=i)), params
-            )
+
+        if not self.is_entro:
+            self._slices_pass = partial(jax.jit(slices_pass_impl), params)
         # weights digest: crc32 of the quantized factorized-prior CDF tables
         # (a pure function of the trained params, already on host)
         self.digest = zlib.crc32(self.z_coder.codec.cdfs.tobytes()) & 0xFFFFFFFF
@@ -242,55 +297,27 @@ class ChannelCoder:
         self.mu_coder = GaussianMuCoder()
         self.digest = zlib.crc32(sigma_z2.tobytes()) & 0xFFFFFFFF
 
-        # ---- device-resident wavefront step -------------------------
-        # ONE jitted step drives both encode and decode (bit-identity by
-        # construction): scatter the previous group's integer values into
-        # the device-resident plane, gather the current group's 4×4 causal
-        # patches ON DEVICE, run the prediction head, and emit the rounded
-        # means + rANS row indexes (int32).  The encoder knows every value
-        # upfront (y_int), so it dispatches all T steps back-to-back with
-        # NO host fetch in the loop — wavefront encode collapses from
-        # T≈2H'+W' round trips to one pipeline + one bulk fetch of the
-        # (T, P, C) accumulators.  The decoder runs the same executable
-        # but fetches the small (2, P, C) per-step output to drive the
-        # host rANS between steps.
-        tabm = jnp.asarray(self.mu_coder.scale_table, jnp.float32)
-        nd = self.mu_coder.n_delta
+        # ---- single-dispatch wavefront scan (device rANS) -----------
+        # ONE jitted lax.scan drives BOTH encode and decode: each step
+        # gathers the group's 4×4 causal patches from the device-resident
+        # plane, runs the prediction head, and then either (decode mode)
+        # consumes this wavefront's symbols from the lane-parallel rans16
+        # streams with the vectorized on-device decoder, or (encode mode)
+        # scatters the known integer latents.  The mode is a TRACED flag,
+        # so both directions execute the *identical* compiled program —
+        # μ/σ (and hence every rANS row index) agree bit-for-bit between
+        # encoder and decoder by construction, immune to cross-executable
+        # XLA fusion differences.  Decode therefore needs NO host round
+        # trips at all (the round-2 host-rANS loop paid T≈2H'+W' of them).
+        from ..coding.device_rans import DeviceRans16, Rans16LaneCodec
 
-        def ns_step_impl(
-            p, ypad, acc, hpad, prev_r, prev_c, prev_vals, cur_r, cur_c, t
-        ):
-            ypad = ypad.at[prev_r, prev_c].set(prev_vals, mode="drop")
-            ii = jnp.arange(4)
-            rr = cur_r[:, None, None] + ii[None, :, None]     # (P, 4, 1)
-            cc = cur_c[:, None, None] + ii[None, None, :] + 1  # (P, 1, 4)
-            ypat = ypad[rr, cc]  # (P, 4, 4, Cy) — OOB rows clamp (garbage
-            ypat = ypat.at[:, 3, 2:, :].set(0.0)  # rows are masked on host)
-            hpat = hpad[rr, cc]
-            mu, sg = self.model.apply(
-                {"params": p},
-                jnp.concatenate([ypat, hpat], axis=-1),
-                method=CodecModel.ns_context_head,
-            )
-            mu_r = jnp.round(mu)
-            si = jnp.clip(
-                jnp.searchsorted(tabm, jnp.maximum(sg, tabm[0]) - 1e-9),
-                0, tabm.shape[0] - 1,
-            )
-            dj = jnp.clip(jnp.floor((mu - mu_r + 0.5) * nd), 0, nd - 1)
-            step_out = jnp.stack(
-                [mu_r.astype(jnp.int32), (si * nd + dj).astype(jnp.int32)]
-            )  # (2, P, C): [round(μ), rANS row index]
-            acc = jax.lax.dynamic_update_index_in_dim(acc, step_out, t, 0)
-            return ypad, acc, step_out
-
-        self._ns_step = partial(
-            jax.jit(ns_step_impl, donate_argnums=(1, 2)), params
+        self.lane_codec = Rans16LaneCodec(
+            self.mu_coder.codec.cdfs, self.mu_coder.codec.offsets
         )
-        self._ns_scatter = jax.jit(
-            lambda ypad, r, c, v: ypad.at[r, c].set(v, mode="drop"),
-            donate_argnums=(0,),
+        self.dev_rans = DeviceRans16(
+            self.mu_coder.codec.cdfs, self.mu_coder.codec.offsets
         )
+        self._ns_scan_cache = {}
 
     # ------------------------------------------------------------- encode
 
@@ -312,7 +339,6 @@ class ChannelCoder:
         # cross the host link (see _dev_scale_idx).
         z_sym16, z_hat = self._z_enc(z3)
         z_blob = self.z_coder.encode_symbols(np.asarray(z_sym16))
-        scales, means = self._hyper_decode(z_hat)
 
         if cfg.syntax != "none":
             syntax = np.asarray(self._syntax(z3))[0, 0, 0].astype(np.int16)
@@ -320,23 +346,38 @@ class ChannelCoder:
             syntax = np.zeros((0,), np.int16)
 
         if self.is_entro:
+            scales, means = self._hyper_decode(z_hat)
             blobs = self._compress_entro(z3, scales, means)
             return self._pack(h, w, syntax, z_blob, blobs)
 
-        y_slices = jnp.split(z3, cfg.num_slices, axis=-1)
-        supports: List[jax.Array] = []
-        blobs: List[bytes] = []
-        for i in range(cfg.num_slices):
-            sup = supports[: cfg.max_support_slices] if cfg.max_support_slices >= 0 else supports
-            sym16, idx, y_hat = self._enc_step[i](
-                means, scales, tuple(sup), y_slices[i]
-            )
-            blobs.append(
-                self.y_coder.encode_indexed(np.asarray(sym16), np.asarray(idx))
-            )
-            supports.append(y_hat)
+        blob_y = self._charm_encode_streams(z_hat, z3)[0]
+        return self._pack(h, w, syntax, z_blob, [blob_y])
 
-        return self._pack(h, w, syntax, z_blob, blobs)
+    def _charm_step_counts(self, hy: int, wy: int) -> List[int]:
+        """Per-slice symbol counts (decode-order steps of the lane split)."""
+        cfg = self.model.cfg
+        per = cfg.N // cfg.num_slices
+        return [hy * wy * per] * cfg.num_slices
+
+    def _charm_encode_streams(self, z_hat, z3) -> List[bytes]:
+        """Run the shared slices executable in encode mode and lane-encode
+        each image's symbols (one rans16 container per image)."""
+        b = z3.shape[0]
+        sym16, rows, _, _, _ = self._slices_pass(
+            z_hat, z3,
+            jnp.zeros((2,), jnp.int32),
+            jnp.zeros((b * self.charm_lanes,), jnp.int32),
+            jnp.int32(0),
+        )
+        sym_np = np.asarray(sym16)
+        rows_np = np.asarray(rows)
+        counts = self._charm_step_counts(z3.shape[1], z3.shape[2])
+        return [
+            self.lane_codec.encode(
+                sym_np[i], rows_np[i], counts, self.charm_lanes
+            )
+            for i in range(b)
+        ]
 
     def _pack(self, h, w, syntax, z_blob, blobs) -> bytes:
         out = bytearray()
@@ -377,53 +418,41 @@ class ChannelCoder:
 
         z3 = self._analyze(xs)
         z_sym16, z_hat = self._z_enc(z3)
-        scales, means = self._hyper_decode(z_hat)
         if cfg.syntax != "none":
             syntax_dev = self._syntax(z3)
-
-        # dispatch ALL slice steps before any host fetch — device compute
-        # and the (bandwidth-bound) int16/uint8 fetches overlap
-        y_slices = jnp.split(z3, cfg.num_slices, axis=-1)
-        supports: List[jax.Array] = []
-        steps = []
-        for si in range(cfg.num_slices):
-            sup = (
-                supports[: cfg.max_support_slices]
-                if cfg.max_support_slices >= 0
-                else supports
-            )
-            sym16, idx, y_hat = self._enc_step[si](
-                means, scales, tuple(sup), y_slices[si]
-            )
-            steps.append((sym16, idx))
-            supports.append(y_hat)
+        # one dispatch computes every slice's symbols + CDF rows (encode
+        # mode of the shared executable); host rANS encodes overlap the
+        # device fetches via a worker thread
+        sym_dev, rows_dev, _, _, _ = self._slices_pass(
+            z_hat, z3,
+            jnp.zeros((2,), jnp.int32),
+            jnp.zeros((b * self.charm_lanes,), jnp.int32),
+            jnp.int32(0),
+        )
 
         if cfg.syntax != "none":
             syntax = np.asarray(syntax_dev)[:, 0, 0].astype(np.int16)
         else:
             syntax = np.zeros((b, 0), np.int16)
 
+        counts = self._charm_step_counts(z3.shape[1], z3.shape[2])
         with ThreadPoolExecutor(max_workers=1) as pool:
             z_sym = np.asarray(z_sym16)
             z_jobs = [
                 pool.submit(self.z_coder.encode_symbols, z_sym[i : i + 1])
                 for i in range(b)
             ]
-            slice_jobs = [[] for _ in range(b)]
-            for sym16, idx in steps:
-                sym_np, idx_np = np.asarray(sym16), np.asarray(idx)
-                for i in range(b):
-                    slice_jobs[i].append(
-                        pool.submit(
-                            self.y_coder.encode_indexed,
-                            sym_np[i : i + 1], idx_np[i : i + 1],
-                        )
-                    )
-
+            sym_np, rows_np = np.asarray(sym_dev), np.asarray(rows_dev)
+            y_jobs = [
+                pool.submit(
+                    self.lane_codec.encode,
+                    sym_np[i], rows_np[i], counts, self.charm_lanes,
+                )
+                for i in range(b)
+            ]
             return [
                 self._pack(
-                    h, w, syntax[i], z_jobs[i].result(),
-                    [f.result() for f in slice_jobs[i]],
+                    h, w, syntax[i], z_jobs[i].result(), [y_jobs[i].result()]
                 )
                 for i in range(b)
             ]
@@ -435,7 +464,8 @@ class ChannelCoder:
         decoded slices < i) but batching across images amortizes every
         device dispatch B-fold; host rANS decodes run between device steps.
         """
-        cfg = self.model.cfg
+        from ..coding.device_rans import Rans16LaneCodec
+
         b = len(blobs)
         heads = [self._parse_header(d) for d in blobs]
         orig_h, orig_w = heads[0][1], heads[0][2]
@@ -445,46 +475,59 @@ class ChannelCoder:
         h, w = padded_size(orig_h, orig_w, 64)
 
         z_shape = (1, h // 64, w // 64, self.z_coder.medians.shape[0])
-        z_syms, syns, offs = [], [], []
+        z_syms, syns, payloads, wstarts = [], [], [], []
         for data, hd in zip(blobs, heads):
             off = hd[0]
-            syn = hd[3]
             (z_len,) = struct.unpack_from("<I", data, off)
             off += 4
-            z_blob = data[off : off + z_len]
+            z_syms.append(
+                self.z_coder.decode_symbols(data[off : off + z_len], z_shape)
+            )
             off += z_len
-            z_syms.append(self.z_coder.decode_symbols(z_blob, z_shape))
-            syns.append(syn)
-            offs.append(off)
+            syns.append(hd[3])
+            (y_len,) = struct.unpack_from("<I", data, off)
+            off += 4
+            nl, ws, pay = Rans16LaneCodec.parse(data[off : off + y_len])
+            if nl != self.charm_lanes:
+                raise ValueError(
+                    f"rans16 lane count mismatch: stream {nl}, "
+                    f"decoder {self.charm_lanes}"
+                )
+            payloads.append(pay)
+            wstarts.append(ws)
         z_hat = self._z_dec(
             jnp.asarray(np.concatenate(z_syms, axis=0).astype(np.int16))
         )
-        scales, means = self._hyper_decode(z_hat)
 
-        supports: List[jax.Array] = []
-        for si in range(cfg.num_slices):
-            sup = (
-                supports[: cfg.max_support_slices]
-                if cfg.max_support_slices >= 0
-                else supports
-            )
-            idx_dev, mu, msup = self._dec_idx[si](means, scales, tuple(sup))
-            idx = np.asarray(idx_dev)
-            syms = []
-            for i in range(b):
-                (blen,) = struct.unpack_from("<I", blobs[i], offs[i])
-                offs[i] += 4
-                blob = blobs[i][offs[i] : offs[i] + blen]
-                offs[i] += blen
-                syms.append(
-                    self.y_coder.decode_indexed(blob, idx[i : i + 1])
-                )
-            y_hat = self._dec_apply[si](
-                msup, mu, jnp.asarray(np.concatenate(syms).astype(np.int16))
-            )
-            supports.append(y_hat)
+        # stack per-image payloads into one flat buffer; per-image lane
+        # start offsets are rebased onto it
+        wmax = max(p.size for p in payloads)
+        pay_flat = np.zeros((b, wmax), np.int32)
+        starts_flat = np.zeros((b, self.charm_lanes), np.int32)
+        for i, (p, ws) in enumerate(zip(payloads, wstarts)):
+            pay_flat[i, : p.size] = p
+            starts_flat[i] = ws[:-1] + i * wmax
 
-        y_full = jnp.concatenate(supports, axis=-1)
+        _, _, y_full, lstate, lptr = self._slices_pass(
+            z_hat,
+            jnp.zeros(
+                (b, h // 16, w // 16, self.model.cfg.N), jnp.float32
+            ),
+            jnp.asarray(pay_flat.reshape(-1)),
+            jnp.asarray(starts_flat.reshape(-1)),
+            jnp.int32(1),
+        )
+        ends = np.stack(
+            [ws[1:] + i * wmax for i, ws in enumerate(wstarts)]
+        ).reshape(-1)
+        if not (
+            np.all(np.asarray(lstate) == np.uint32(1 << 16))
+            and np.all(np.asarray(lptr) == ends)
+        ):
+            raise ValueError(
+                "corrupt or truncated rans16 stream (lane final-state check)"
+            )
+
         m_len = syns[0].size
         syn = (
             jnp.asarray(np.stack(syns).astype(np.float32)).reshape(b, 1, 1, -1)
@@ -525,30 +568,33 @@ class ChannelCoder:
 
     # ------------------------------- neural-syntax wavefront coding
 
-    def _ns_wavefront(self, h2_np, y_int=None, stream=None):
-        """Run the wavefront schedule over the content latent on DEVICE.
+    @staticmethod
+    def _ns_lane_count(total_syms: int) -> int:
+        """Lanes for the content stream: enough parallelism for the device
+        decoder while keeping the ~4–6 byte/lane flush+header overhead
+        around ~1% of a typical payload (≥2048 symbols per lane)."""
+        l = 1
+        while l < 128 and total_syms // (2 * l) >= 2048:
+            l *= 2
+        return max(l, 8)
 
-        Encode mode (``y_int`` given): all T steps are dispatched
-        back-to-back (the values scattered into the context plane come
-        from the known ``y_int``, so nothing in the loop waits on a
-        fetch); one bulk fetch of the (T, 2, P, C) accumulator yields
-        every group's rounded means and rANS row indexes.  Decode mode
-        (``stream`` given): the same jitted step runs once per group —
-        the only host work between steps is the rANS decode of that
-        group's symbols.  Both modes execute the *identical* executable
-        on identical inputs, so μ/σ (and hence the coded indexes) agree
-        bit-for-bit between encoder and decoder by construction.
-
-        Returns ``(mu_round, idx, y_all, plane)`` where ``mu_round``/
-        ``idx`` are int32 arrays flattened in wavefront order.
+    def _ns_scan(self, hy: int, wy: int):
+        """Build (and cache) the single-dispatch wavefront executable for a
+        latent grid.  Returns ``fn(h2, payload, wstarts, y_known, mode)``
+        → ``(mu_r (T,P,C), rows (T,P,C), plane, lane_state, lane_ptr)``.
         """
+        key = (hy, wy)
+        if key in self._ns_scan_cache:
+            return self._ns_scan_cache[key]
+
         cfg = self.model.cfg
         c = cfg.N - cfg.M
-        hy, wy = h2_np.shape[0], h2_np.shape[1]
         groups = wavefront_groups(hy, wy)
         T = len(groups)
         p_max = max(len(g[0]) for g in groups)
-        OOB = -(10 ** 6)  # padded scatter rows: dropped (mode='drop')
+        n_lanes = self._ns_lane_count(hy * wy * c)
+        mc = -(-(p_max * c) // n_lanes)  # chunks per step
+        OOB = -(10 ** 6)  # padded rows: scatter-dropped, gathers clamp
 
         def pad_rc(a):
             return np.pad(
@@ -556,60 +602,86 @@ class ChannelCoder:
                 constant_values=OOB,
             )
 
-        cur_rs = [pad_rc(ps) for ps, _ in groups]
-        cur_cs = [pad_rc(qs) for _, qs in groups]
-
-        hpad = jnp.asarray(
-            np.pad(h2_np, ((3, 3), (3, 3), (0, 0))).astype(np.float32)
+        rs = jnp.asarray(np.stack([pad_rc(ps) for ps, _ in groups]))
+        cs = jnp.asarray(np.stack([pad_rc(qs) for _, qs in groups]))
+        nsym = jnp.asarray(
+            np.asarray([len(ps) * c for ps, _ in groups], np.int32)
         )
-        ypad = jnp.zeros((hy + 6, wy + 6, c), jnp.float32)
-        acc = jnp.zeros((T, 2, p_max, c), jnp.int32)
+        tabm = jnp.asarray(self.mu_coder.scale_table, jnp.float32)
+        nd = self.mu_coder.n_delta
+        dev = self.dev_rans
+        model, params = self.model, self.params
 
-        zero_rc = np.full((p_max,), OOB, np.int32)
-        zero_vals = np.zeros((p_max, c), np.float32)
+        def fn_impl(p, h2, payload, wstarts, y_known, use_stream):
+            hpad = jnp.pad(h2, ((3, 3), (3, 3), (0, 0)))
+            ypad = jnp.zeros((hy + 6, wy + 6, c), jnp.float32)
+            lanes = dev.init_lanes(payload, wstarts)
 
-        def vals_of(t, decoded):
-            ps, qs = groups[t]
-            v = (
-                y_int[ps, qs, :].astype(np.float32)
-                if y_int is not None
-                else decoded
+            def body(carry, xs):
+                ypad, lanes = carry
+                r, q, ns_t = xs
+                ii = jnp.arange(4)
+                rr = r[:, None, None] + ii[None, :, None]      # (P, 4, 1)
+                cc = q[:, None, None] + ii[None, None, :] + 1  # (P, 1, 4)
+                ypat = ypad[rr, cc]            # (P, 4, 4, Cy); OOB clamps
+                ypat = ypat.at[:, 3, 2:, :].set(0.0)   # causal mask
+                hpat = hpad[rr, cc]
+                mu, sg = model.apply(
+                    {"params": p},
+                    jnp.concatenate([ypat, hpat], axis=-1),
+                    method=CodecModel.ns_context_head,
+                )
+                mu_r = jnp.round(mu)
+                si = jnp.clip(
+                    jnp.searchsorted(tabm, jnp.maximum(sg, tabm[0]) - 1e-9),
+                    0, tabm.shape[0] - 1,
+                )
+                dj = jnp.clip(jnp.floor((mu - mu_r + 0.5) * nd), 0, nd - 1)
+                rows = (si * nd + dj).astype(jnp.int32)       # (P, C)
+                mu_i = mu_r.astype(jnp.int32)
+
+                rows_pad = jnp.pad(
+                    rows.reshape(-1), (0, mc * n_lanes - p_max * c)
+                )
+                lane_ids = jnp.arange(n_lanes, dtype=jnp.int32)
+
+                def chunk(k, st):
+                    lanes, out = st
+                    rk = jax.lax.dynamic_slice(
+                        rows_pad, (k * n_lanes,), (n_lanes,)
+                    )
+                    valid = (k * n_lanes + lane_ids) < ns_t
+                    vals, lanes = dev.decode_chunk(lanes, payload, rk, valid)
+                    out = jax.lax.dynamic_update_slice(
+                        out, vals[None], (k, 0)
+                    )
+                    return lanes, out
+
+                lanes, dec = jax.lax.fori_loop(
+                    0, mc, chunk,
+                    (lanes, jnp.zeros((mc, n_lanes), jnp.int32)),
+                )
+                sym = dec.reshape(-1)[: p_max * c].reshape(p_max, c)
+
+                yk = y_known[
+                    jnp.clip(r - 3, 0, hy - 1), jnp.clip(q - 3, 0, wy - 1)
+                ]
+                vals = jnp.where(
+                    use_stream != 0, sym + mu_i, yk
+                ).astype(jnp.float32)
+                ypad = ypad.at[r, q].set(vals, mode="drop")
+                return (ypad, lanes), (mu_i, rows)
+
+            (ypad, lanes), (mu_all, rows_all) = jax.lax.scan(
+                body, (ypad, lanes), (rs, cs, nsym)
             )
-            return np.pad(v, ((0, p_max - len(ps)), (0, 0)))
+            plane = ypad[3 : 3 + hy, 3 : 3 + wy, :]
+            return mu_all, rows_all, plane, lanes.state, lanes.ptr
 
-        ints = []
-        prev_vals = None
-        for t in range(T):
-            ypad, acc, step_out = self._ns_step(
-                ypad, acc, hpad,
-                zero_rc if t == 0 else cur_rs[t - 1],
-                zero_rc if t == 0 else cur_cs[t - 1],
-                zero_vals if t == 0 else prev_vals,
-                cur_rs[t], cur_cs[t], t,
-            )
-            n = len(groups[t][0])
-            if stream is not None:
-                out = np.asarray(step_out)  # (2, P, C) — the step's fetch
-                sym = stream.decode(out[1, :n].astype(np.int32))
-                vals = sym.reshape(n, c) + out[0, :n]
-                ints.append(vals)
-                prev_vals = vals_of(t, vals.astype(np.float32))
-            else:
-                ints.append(y_int[groups[t][0], groups[t][1], :])
-                prev_vals = vals_of(t, None)
-        # final group's values enter the plane here (decode needs them)
-        ypad = self._ns_scatter(ypad, cur_rs[-1], cur_cs[-1], prev_vals)
-
-        out_all = np.asarray(acc)  # encode: the single bulk fetch
-        mu_all = np.concatenate(
-            [out_all[t, 0, : len(ps)] for t, (ps, _) in enumerate(groups)]
-        )
-        idx_all = np.concatenate(
-            [out_all[t, 1, : len(ps)] for t, (ps, _) in enumerate(groups)]
-        )
-        y_all = np.concatenate(ints, axis=0)
-        plane = np.asarray(ypad)[3 : 3 + hy, 3 : 3 + wy, :]
-        return mu_all, idx_all, y_all, plane
+        fn = partial(jax.jit(fn_impl), params)
+        entry = (fn, groups, n_lanes, p_max, c)
+        self._ns_scan_cache[key] = entry
+        return entry
 
     def _compress_ns(self, x: jax.Array, h: int, w: int) -> bytes:
         cfg = self.model.cfg
@@ -630,11 +702,30 @@ class ChannelCoder:
 
         content = z3[..., cfg.M :]
         y_int = np.asarray(jnp.round(content)).astype(np.int32)[0]
-        mu_round, idx_all, y_all, _ = self._ns_wavefront(
-            np.asarray(h2, np.float32)[0], y_int=y_int
+        hy, wy = y_int.shape[0], y_int.shape[1]
+        fn, groups, n_lanes, p_max, c = self._ns_scan(hy, wy)
+        # encode mode: dummy stream, known integer latents drive the plane
+        mu_dev, rows_dev, _, _, _ = fn(
+            jnp.asarray(np.asarray(h2, np.float32)[0]),
+            jnp.zeros((2,), jnp.int32),
+            jnp.zeros((n_lanes,), jnp.int32),
+            jnp.asarray(y_int),
+            jnp.int32(0),
         )
-        blob_y = self.mu_coder.codec.encode(
-            (y_all.astype(np.int64) - mu_round).astype(np.int32), idx_all
+        mu_np, rows_np = np.asarray(mu_dev), np.asarray(rows_dev)
+        mu_all = np.concatenate(
+            [mu_np[t, : len(ps)] for t, (ps, _) in enumerate(groups)]
+        )
+        idx_all = np.concatenate(
+            [rows_np[t, : len(ps)] for t, (ps, _) in enumerate(groups)]
+        )
+        y_all = np.concatenate(
+            [y_int[ps, qs, :] for ps, qs in groups], axis=0
+        )
+        step_counts = [len(ps) * c for ps, _ in groups]
+        blob_y = self.lane_codec.encode(
+            (y_all.astype(np.int64) - mu_all).astype(np.int32),
+            idx_all, step_counts, n_lanes,
         )
 
         return self._pack(
@@ -672,13 +763,35 @@ class ChannelCoder:
         (y_len,) = struct.unpack_from("<I", data, off)
         off += 4
         y_blob = data[off : off + y_len]
-        stream = self.mu_coder.codec.stream_decoder(y_blob)
-        _, _, _, plane = self._ns_wavefront(
-            np.asarray(h2, np.float32)[0], stream=stream
-        )
-        stream.finish()
+        hy, wy = int(h2.shape[1]), int(h2.shape[2])
+        fn, groups, n_lanes, p_max, c = self._ns_scan(hy, wy)
+        from ..coding.device_rans import Rans16LaneCodec
 
-        content = jnp.asarray(plane[None], jnp.float32)
+        blob_lanes, wstarts, payload = Rans16LaneCodec.parse(y_blob)
+        if blob_lanes != n_lanes:
+            raise ValueError(
+                f"rans16 lane count mismatch: stream {blob_lanes}, "
+                f"decoder {n_lanes}"
+            )
+        # decode mode: one device dispatch runs the whole wavefront scan
+        _, _, plane, lstate, lptr = fn(
+            jnp.asarray(np.asarray(h2, np.float32)[0]),
+            jnp.asarray(payload.astype(np.int32)),
+            jnp.asarray(wstarts[:-1].astype(np.int32)),
+            jnp.zeros((hy, wy, c), jnp.int32),
+            jnp.int32(1),
+        )
+        # stream integrity: every lane must end at the interval bound with
+        # every word consumed (the single-stream path's finish() analogue)
+        if not (
+            np.all(np.asarray(lstate) == np.uint32(1 << 16))
+            and np.all(np.asarray(lptr) == wstarts[1:])
+        ):
+            raise ValueError(
+                "corrupt or truncated rans16 stream (lane final-state check)"
+            )
+
+        content = jnp.asarray(plane)[None]
         syn = jnp.asarray(syn_int, jnp.float32).reshape(1, 1, 1, -1)
         rec = self._synthesize(content, syn)
         return rec[:, :orig_h, :orig_w, :]
@@ -750,13 +863,14 @@ class ChannelCoder:
     # ------------------------------------------------------------- decode
 
     def decompress(self, data: bytes) -> jax.Array:
-        cfg = self.model.cfg
         off, orig_h, orig_w, syn16 = self._parse_header(data)
         h, w = padded_size(orig_h, orig_w, 64)
         if self.is_ns:
             # NS codes its syntax vector; the header field is empty
             return self._decompress_ns(data, off, orig_h, orig_w, h, w)
-        m_len = syn16.size
+        if not self.is_entro:
+            # charm slice chain: the batched path IS the single-image path
+            return self.decompress_batch([data])
         syntax = syn16.astype(np.float32)
         (z_len,) = struct.unpack_from("<I", data, off)
         off += 4
@@ -767,27 +881,5 @@ class ChannelCoder:
         z_shape = (1, zh, zw, self.z_coder.medians.shape[0])
         z_sym = self.z_coder.decode_symbols(z_blob, z_shape)
         z_hat = self._z_dec(jnp.asarray(z_sym.astype(np.int16)))
-        if self.is_entro:
-            rec = self._decompress_entro(data, off, z_hat, syntax, h, w)
-            return rec[:, :orig_h, :orig_w, :]
-        scales, means = self._hyper_decode(z_hat)
-
-        supports: List[jax.Array] = []
-        for i in range(cfg.num_slices):
-            (blen,) = struct.unpack_from("<I", data, off)
-            off += 4
-            blob = data[off : off + blen]
-            off += blen
-            sup = supports[: cfg.max_support_slices] if cfg.max_support_slices >= 0 else supports
-            idx_dev, mu, msup = self._dec_idx[i](means, scales, tuple(sup))
-            sym = self.y_coder.decode_indexed(blob, np.asarray(idx_dev))
-            y_hat = self._dec_apply[i](
-                msup, mu, jnp.asarray(sym.astype(np.int16))
-            )
-            supports.append(y_hat)
-
-        y_hat_full = jnp.concatenate(supports, axis=-1)
-        syn = (
-            jnp.asarray(syntax).reshape(1, 1, 1, -1) if m_len else None
-        )
-        return self._synthesize(y_hat_full, syn)[:, :orig_h, :orig_w, :]
+        rec = self._decompress_entro(data, off, z_hat, syntax, h, w)
+        return rec[:, :orig_h, :orig_w, :]
