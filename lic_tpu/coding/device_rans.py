@@ -152,8 +152,7 @@ class DeviceRans16:
         cdfs = np.asarray(cdfs, np.int64)
         self.rows, self.row_len = cdfs.shape
         self.nsyms = self.row_len - 2  # value slots; slot nsyms = escape
-        self.search_bits = max(1, math.ceil(math.log2(self.nsyms + 1)))
-        self.cdf_flat = jnp.asarray(cdfs.reshape(-1), jnp.uint32)
+        self.cdf_rows = jnp.asarray(cdfs, jnp.int32)  # (rows, row_len)
         self.offsets = jnp.asarray(offsets, jnp.int32)
 
     # -- helpers -------------------------------------------------------
@@ -197,18 +196,27 @@ class DeviceRans16:
         state, ptr = lanes
         rows = jnp.clip(rows, 0, self.rows - 1)
         cum = (state & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        base = rows * self.row_len
 
-        # largest slot in [0, nsyms] with cdf[slot] <= cum (cdf[0]=0 always)
-        slot = jnp.zeros_like(rows)
-        for b in reversed(range(self.search_bits)):
-            cand = slot + (1 << b)
-            ok = cand <= self.nsyms
-            v = self.cdf_flat[base + jnp.where(ok, cand, 0)].astype(jnp.int32)
-            slot = jnp.where(ok & (v <= cum), cand, slot)
-
-        start = self.cdf_flat[base + slot].astype(jnp.int32)
-        freq = self.cdf_flat[base + slot + 1].astype(jnp.int32) - start
+        # ONE row-gather (L, row_len) then pure VPU: per-element gathers
+        # lower poorly on TPU (measured: they dominated the decode), while
+        # a major-axis row gather is a DMA and the slot search over the
+        # ≤131-wide row is elementwise compare + reduce.
+        row = self.cdf_rows[rows]  # (L, row_len)
+        le = (row <= cum[:, None]).astype(jnp.int32)
+        # largest slot with cdf[slot] <= cum; cdf[0]=0 so sum >= 1
+        slot = jnp.sum(le, axis=-1) - 1
+        slot = jnp.minimum(slot, self.nsyms)
+        onehot = (
+            jnp.arange(self.row_len, dtype=jnp.int32)[None, :] == slot[:, None]
+        ).astype(jnp.int32)
+        start = jnp.sum(row * onehot, axis=-1)
+        nxt = jnp.sum(
+            row * jnp.concatenate(
+                [jnp.zeros_like(onehot[:, :1]), onehot[:, :-1]], axis=-1
+            ),
+            axis=-1,
+        )
+        freq = nxt - start
         ns = freq.astype(jnp.uint32) * (state >> 16) + (
             cum - start
         ).astype(jnp.uint32)
