@@ -127,9 +127,15 @@ def main():
     # (net_ga = eval_net.py:16; net_unet_ha_hs* = train_net_unet.py:16) —
     # rich transforms + SWAtten + U-Net hyper.  Reported so the headline
     # doesn't speak only for the lightest model.
-    for name in ("net_unet_ha_hs_dec", "net_ga"):
+    # ("source_net:high" = the reference's --high N=384/M=32 capacity,
+    # model/net.py:446-453 — capacity changes the perf picture)
+    for name in ("net_unet_ha_hs_dec", "net_ga", "source_net:high"):
         try:
-            m2 = build_model(name)
+            m2 = (
+                build_model("source_net", is_high=True)
+                if name == "source_net:high"
+                else build_model(name)
+            )
             init2 = jax.jit(
                 lambda k, xx, m=m2: m.init(
                     {"params": k, "noise": jax.random.PRNGKey(1)},
@@ -147,9 +153,10 @@ def main():
                 mp_batch * iters / _measure(fwd2, p2, xb, iters)
                 for _ in range(3)
             ]
-            extra[f"{name}_bf16_median"] = statistics.median(vals)
+            key = name.replace(":", "_")
+            extra[f"{key}_bf16_median"] = statistics.median(vals)
         except Exception as e:
-            extra[f"{name}_error"] = f"{type(e).__name__}: {e}"
+            extra[f"{name.replace(':', '_')}_error"] = f"{type(e).__name__}: {e}"
 
     # ---- real codec path: device passes + host rANS, batched/overlapped
     try:

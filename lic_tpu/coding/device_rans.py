@@ -190,7 +190,22 @@ class DeviceRans16:
 
         rows: (L,) int32 CDF row per lane; valid: (L,) bool.
         Returns (values int32 (L,), new DeviceLaneState).
+
+        Entirely-invalid chunks (padding in a fixed-trip scan, e.g. the
+        short wavefronts of the neural-syntax decode) skip all the work
+        through one scalar-pred branch.
         """
+        import jax
+        import jax.numpy as jnp
+
+        return jax.lax.cond(
+            jnp.any(valid),
+            lambda: self._decode_chunk_live(lanes, payload, rows, valid),
+            lambda: (jnp.zeros_like(rows), lanes),
+        )
+
+    def _decode_chunk_live(self, lanes, payload, rows, valid):
+        import jax
         import jax.numpy as jnp
 
         state, ptr = lanes
@@ -225,15 +240,250 @@ class DeviceRans16:
         ptr = jnp.where(valid, nptr, ptr)
 
         esc = valid & (slot == self.nsyms)
-        cnt, state, ptr = self._get_bits4(state, ptr, payload, esc)
-        cnt = cnt + 1
-        u = jnp.zeros_like(rows)
-        for i in range(8):
-            active = esc & (i < cnt)
-            d, state, ptr = self._get_bits4(state, ptr, payload, active)
-            u = jnp.where(active, (u << 4) | d, u)
-        delta = (u >> 1) ^ -(u & 1)  # unzigzag
         off = self.offsets[rows]
-        esc_val = jnp.where(delta < 0, 0, self.nsyms - 1) + delta + off
+
+        # Escapes are rare (far-tail symbols only): the bypass-nibble loop
+        # is 9 predicated payload gathers, so skip the whole block with a
+        # real branch (scalar-pred lax.cond) unless this chunk has one.
+        def esc_path(state, ptr):
+            cnt, state, ptr = self._get_bits4(state, ptr, payload, esc)
+            cnt = cnt + 1
+            u = jnp.zeros_like(rows)
+            for i in range(8):
+                active = esc & (i < cnt)
+                d, state, ptr = self._get_bits4(state, ptr, payload, active)
+                u = jnp.where(active, (u << 4) | d, u)
+            delta = (u >> 1) ^ -(u & 1)  # unzigzag
+            esc_val = jnp.where(delta < 0, 0, self.nsyms - 1) + delta + off
+            return esc_val, state, ptr
+
+        esc_val, state, ptr = jax.lax.cond(
+            jnp.any(esc),
+            esc_path,
+            lambda state, ptr: (jnp.zeros_like(rows), state, ptr),
+            state, ptr,
+        )
         values = jnp.where(esc, esc_val, slot + off)
         return jnp.where(valid, values, 0), DeviceLaneState(state, ptr)
+
+
+# --------------------------------------------------------------- rans16i --
+# Shared-stream INTERLEAVED lane coding.  Same CDF tables and per-lane
+# 32/16 rANS math as above, but the renorm words of ALL lanes interleave
+# into ONE stream in a deterministic read order (per chunk: one symbol per
+# lane ascending, then escape nibble phases).  The device decoder therefore
+# reads each phase's words from ONE contiguous window at a single shared
+# pointer — a `dynamic_slice` + prefix-sum + one-hot matmul instead of the
+# per-lane scattered payload gathers that dominated the segmented decoder
+# (measured ~114 µs/chunk; the gathers, not the math) — and the container
+# drops the per-lane word-count table (4 B/lane).
+
+
+class Rans16InterleavedCodec:
+    """Host-side encode (and mirror decode) of the interleaved format.
+
+    Container: [uint16 L][uint16 payload ...] — no per-lane count table.
+    ``symbols``/``indexes`` are flat in DECODE order (step-major); the
+    wire format is defined entirely by (step_counts, L).
+    """
+
+    def __init__(self, cdfs: np.ndarray, offsets: np.ndarray):
+        self.cdfs = np.ascontiguousarray(cdfs, np.uint32)
+        self.row_len = self.cdfs.shape[1]
+        self.offsets = np.ascontiguousarray(offsets, np.int32)
+
+    def encode(
+        self,
+        symbols: np.ndarray,
+        indexes: np.ndarray,
+        step_counts: np.ndarray,
+        n_lanes: int,
+    ) -> bytes:
+        symbols = np.ascontiguousarray(symbols.reshape(-1), np.int32)
+        indexes = np.ascontiguousarray(indexes.reshape(-1), np.int32)
+        step_counts = np.ascontiguousarray(step_counts, np.int64)
+        assert symbols.shape == indexes.shape
+        assert int(step_counts.sum()) == symbols.size
+        cap = symbols.size * 24 + 2 * n_lanes + 64
+        out = np.empty(cap, np.uint16)
+        n = _lib().rans16i_encode(
+            symbols, indexes, step_counts, step_counts.size, n_lanes,
+            self.cdfs, self.row_len, self.offsets, out, cap,
+        )
+        if n < 0:
+            raise RuntimeError("rans16i encode overflow")
+        head = np.asarray([n_lanes], np.uint16).tobytes()
+        return head + out[:n].tobytes()
+
+    @staticmethod
+    def parse(blob: bytes) -> Tuple[int, np.ndarray]:
+        """→ (n_lanes, payload uint16)."""
+        n_lanes = int(np.frombuffer(blob, np.uint16, 1)[0])
+        payload = np.frombuffer(blob, np.uint16, -1, 2)
+        return n_lanes, payload
+
+    def decode_host(
+        self, blob: bytes, indexes: np.ndarray, step_counts: np.ndarray
+    ) -> np.ndarray:
+        """C++ mirror of the device decoder (tests/fallback)."""
+        n_lanes, payload = self.parse(blob)
+        indexes = np.ascontiguousarray(indexes.reshape(-1), np.int32)
+        step_counts = np.ascontiguousarray(step_counts, np.int64)
+        out = np.empty(indexes.size, np.int32)
+        rc = _lib().rans16i_decode(
+            np.ascontiguousarray(payload), payload.size, indexes,
+            step_counts, step_counts.size, n_lanes, self.cdfs,
+            self.row_len, self.offsets, out,
+        )
+        if rc != 0:
+            raise ValueError("corrupt or truncated rans16i stream")
+        return out
+
+
+class DeviceIState(NamedTuple):
+    """Interleaved decoder state over a BATCH of independent streams:
+    L lane states and ONE shared word pointer per stream."""
+
+    state: "jax.Array"  # (B, L) uint32
+    ptr: "jax.Array"  # (B,) int32 — shared word index per stream
+
+
+class DeviceRans16Interleaved:
+    """Jittable decoder for the interleaved shared-stream format.
+
+    Batch-native: every method takes ``payload`` (B, W) int32 — the
+    zero-extended uint16 words of B independent streams, **each padded with
+    at least L trailing zeros** (so the contiguous window slice at the
+    final pointer stays in bounds) — and (B, L) rows/valid masks.  The
+    batch form keeps the rare-escape skip as ONE global branch instead of
+    the per-stream selects a vmap would produce.
+
+    ``valid`` masks must be PREFIX masks per stream (lane i invalid ⇒
+    lane i+1 invalid) — guaranteed by the format's chunk layout.
+    """
+
+    def __init__(self, cdfs: np.ndarray, offsets: np.ndarray, n_lanes: int):
+        import jax.numpy as jnp
+
+        cdfs = np.asarray(cdfs, np.int64)
+        self.rows, self.row_len = cdfs.shape
+        self.nsyms = self.row_len - 2
+        self.n_lanes = int(n_lanes)
+        self.cdf_rows = jnp.asarray(cdfs, jnp.int32)
+        self.offsets = jnp.asarray(offsets, jnp.int32)
+
+    def init_lanes(self, payload) -> DeviceIState:
+        import jax.numpy as jnp
+
+        L = self.n_lanes
+        b = payload.shape[0]
+        head = payload[:, : 2 * L].reshape(b, L, 2).astype(jnp.uint32)
+        return DeviceIState(
+            (head[..., 0] << 16) | head[..., 1],
+            jnp.full((b,), 2 * L, jnp.int32),
+        )
+
+    def _window_renorm(self, state, ptr, payload, need):
+        """One interleaved renorm phase: per stream, the k-th lane needing
+        a word (lanes ascending) takes word ``ptr + k`` — one contiguous
+        window slice, exclusive prefix-sum ranks, one-hot matmul select."""
+        import jax
+        import jax.numpy as jnp
+
+        L = self.n_lanes
+        win = jax.vmap(
+            lambda pay, p: jax.lax.dynamic_slice(pay, (p,), (L,))
+        )(payload, ptr)  # (B, L)
+        needi = need.astype(jnp.int32)
+        rank = jnp.cumsum(needi, axis=1) - needi  # exclusive prefix sum
+        sel = (
+            rank[..., None] == jnp.arange(L, dtype=jnp.int32)[None, None, :]
+        ).astype(jnp.int32) * needi[..., None]
+        w = jnp.einsum("blk,bk->bl", sel, win).astype(jnp.uint32)
+        state = jnp.where(need, (state << 16) | w, state)
+        return state, ptr + jnp.sum(needi, axis=1)
+
+    def _renorm_phase(self, state, ptr, payload, active):
+        import jax.numpy as jnp
+
+        need = active & (state < jnp.uint32(1 << 16))
+        return self._window_renorm(state, ptr, payload, need)
+
+    def _get_bits4(self, state, ptr, payload, active):
+        import jax.numpy as jnp
+
+        val = (state & jnp.uint32(15)).astype(jnp.int32)
+        ns = jnp.where(active, state >> 4, state)
+        ns, ptr = self._renorm_phase(ns, ptr, payload, active)
+        return jnp.where(active, val, 0), ns, ptr
+
+    def decode_chunk(self, lanes: DeviceIState, payload, rows, valid):
+        """Decode one symbol per valid lane (prefix mask per stream).
+
+        rows/valid: (B, L).  Returns (values int32 (B, L), new state).
+        Entirely-invalid chunks consume nothing and skip all work through
+        one scalar-pred branch."""
+        import jax
+        import jax.numpy as jnp
+
+        return jax.lax.cond(
+            jnp.any(valid),
+            lambda: self._decode_chunk_live(lanes, payload, rows, valid),
+            lambda: (jnp.zeros_like(rows), lanes),
+        )
+
+    def _decode_chunk_live(self, lanes, payload, rows, valid):
+        import jax
+        import jax.numpy as jnp
+
+        state, ptr = lanes
+        rows = jnp.clip(rows, 0, self.rows - 1)
+        cum = (state & jnp.uint32(0xFFFF)).astype(jnp.int32)
+
+        # slot search: ONE row-gather (B, L, row_len) then pure VPU (see
+        # DeviceRans16._decode_chunk_live for the lowering rationale)
+        row = self.cdf_rows[rows]
+        le = (row <= cum[..., None]).astype(jnp.int32)
+        slot = jnp.sum(le, axis=-1) - 1
+        slot = jnp.minimum(slot, self.nsyms)
+        onehot = (
+            jnp.arange(self.row_len, dtype=jnp.int32)[None, None, :]
+            == slot[..., None]
+        ).astype(jnp.int32)
+        start = jnp.sum(row * onehot, axis=-1)
+        nxt = jnp.sum(
+            row * jnp.concatenate(
+                [jnp.zeros_like(onehot[..., :1]), onehot[..., :-1]], axis=-1
+            ),
+            axis=-1,
+        )
+        freq = nxt - start
+        ns = freq.astype(jnp.uint32) * (state >> 16) + (
+            cum - start
+        ).astype(jnp.uint32)
+        state = jnp.where(valid, ns, state)
+        state, ptr = self._renorm_phase(state, ptr, payload, valid)
+
+        esc = valid & (slot == self.nsyms)
+        off = self.offsets[rows]
+
+        def esc_path(state, ptr):
+            cnt, state, ptr = self._get_bits4(state, ptr, payload, esc)
+            cnt = cnt + 1
+            u = jnp.zeros_like(rows)
+            for i in range(8):
+                active = esc & (i < cnt)
+                d, state, ptr = self._get_bits4(state, ptr, payload, active)
+                u = jnp.where(active, (u << 4) | d, u)
+            delta = (u >> 1) ^ -(u & 1)  # unzigzag
+            esc_val = jnp.where(delta < 0, 0, self.nsyms - 1) + delta + off
+            return esc_val, state, ptr
+
+        esc_val, state, ptr = jax.lax.cond(
+            jnp.any(esc),
+            esc_path,
+            lambda state, ptr: (jnp.zeros_like(rows), state, ptr),
+            state, ptr,
+        )
+        values = jnp.where(esc, esc_val, slot + off)
+        return jnp.where(valid, values, 0), DeviceIState(state, ptr)

@@ -404,6 +404,38 @@ inline uint32_t bypass_decode16(Rans16Decoder& dec) {
   return u;
 }
 
+// Shared-stream helpers: like Rans16Encoder but L states share ONE
+// reversed word vector (interleaved renormalization).
+inline void put16s(uint32_t& state, std::vector<uint16_t>& w,
+                   uint32_t start, uint32_t freq) {
+  uint64_t x_max = (uint64_t)freq << 16;
+  while (state >= x_max) {
+    w.push_back((uint16_t)state);
+    state >>= 16;
+  }
+  state = ((state / freq) << kProbBits) + (state % freq) + start;
+}
+
+inline void put_bits16s(uint32_t& state, std::vector<uint16_t>& w,
+                        uint32_t val, uint32_t nbits) {
+  uint64_t x_max = (uint64_t)1 << (32 - nbits);
+  while (state >= x_max) {
+    w.push_back((uint16_t)state);
+    state >>= 16;
+  }
+  state = (state << nbits) + val;
+}
+
+inline int nibble_count(uint32_t u) {
+  int n = 1;
+  u >>= 4;
+  while (u) {
+    ++n;
+    u >>= 4;
+  }
+  return n;
+}
+
 }  // namespace
 
 // Encode per-lane contiguous segments (the caller pre-sorts symbols into
@@ -478,6 +510,169 @@ long rans16_decode_lanes(
     }
     ok = ok && !dec.overrun && dec.state == kLaneL && dec.ptr == dec.end;
   }
+  return ok ? 0 : -1;
+}
+
+// ------------------------------------------------------------- rans16i --
+// Shared-stream INTERLEAVED lane coding: one word stream feeds all L lane
+// states.  The decoder's word-read order is fully deterministic given
+// (step_counts, L): per chunk k of step t, phase A decodes one symbol per
+// valid lane (lanes ascending, each reading ≤1 renorm word), phase B reads
+// the escape nibble-counts (lanes ascending), then 8 nibble phases C_i
+// (lanes ascending).  A TPU decoder therefore serves each phase's reads
+// from ONE contiguous window at the shared pointer (prefix-sum the
+// per-lane need), eliminating scattered per-lane gathers — and the
+// per-lane word-count table of the segmented format disappears from the
+// container (4 B/lane saved).
+//
+// The encoder mirrors this by processing the op list in exact REVERSE
+// (steps, chunks, phases, lanes all descending), pushing renorm words of
+// all lanes into one reversed buffer; the final per-lane state flushes
+// (decoder init: 2 words per lane, lanes ascending, stream head) are
+// pushed last and the whole buffer is reversed on output.
+//
+// symbols/indexes are in flat DECODE order (step-major), no per-lane
+// permutation.  Returns total words or -1 on overflow.
+long rans16i_encode(
+    const int32_t* symbols, const int32_t* indexes,
+    const int64_t* step_counts, long n_steps, long n_lanes,
+    const uint32_t* cdfs, long row_len,
+    const int32_t* offsets,
+    uint16_t* out, long out_cap_words) {
+  long nsyms = row_len - 2;
+  std::vector<uint32_t> st((size_t)n_lanes, kLaneL);
+  std::vector<uint16_t> words;
+  long total = 0;
+  for (long t = 0; t < n_steps; ++t) total += step_counts[t];
+  words.reserve((size_t)total + 2 * n_lanes + 64);
+  long base = total;
+  for (long t = n_steps - 1; t >= 0; --t) {
+    long sc = step_counts[t];
+    base -= sc;
+    long mc = (sc + n_lanes - 1) / n_lanes;
+    for (long k = mc - 1; k >= 0; --k) {
+      long lim = std::min(n_lanes, sc - k * n_lanes);
+      long fb = base + k * n_lanes;
+      // reverse of decode read order: C_7..C_0, B, A (lanes descending)
+      for (int i = 7; i >= 0; --i) {
+        for (long lane = lim - 1; lane >= 0; --lane) {
+          int32_t idx = indexes[fb + lane];
+          int64_t slot = (int64_t)symbols[fb + lane] - offsets[idx];
+          if (slot >= 0 && slot < nsyms) continue;
+          int64_t delta = slot < 0 ? slot : slot - (nsyms - 1);
+          uint32_t u = zigzag((int32_t)delta);
+          int nib = nibble_count(u);
+          if (i >= nib) continue;
+          put_bits16s(st[lane], words, (u >> (4 * (nib - 1 - i))) & 15u, 4);
+        }
+      }
+      for (long lane = lim - 1; lane >= 0; --lane) {
+        int32_t idx = indexes[fb + lane];
+        int64_t slot = (int64_t)symbols[fb + lane] - offsets[idx];
+        if (slot >= 0 && slot < nsyms) continue;
+        int64_t delta = slot < 0 ? slot : slot - (nsyms - 1);
+        int nib = nibble_count(zigzag((int32_t)delta));
+        put_bits16s(st[lane], words, (uint32_t)(nib - 1), 4);
+      }
+      for (long lane = lim - 1; lane >= 0; --lane) {
+        int32_t idx = indexes[fb + lane];
+        const uint32_t* cdf = cdfs + (long)idx * row_len;
+        int64_t slot = (int64_t)symbols[fb + lane] - offsets[idx];
+        if (slot >= 0 && slot < nsyms)
+          put16s(st[lane], words, cdf[slot], cdf[slot + 1] - cdf[slot]);
+        else
+          put16s(st[lane], words, cdf[nsyms], cdf[nsyms + 1] - cdf[nsyms]);
+      }
+    }
+  }
+  // decoder init reads (hi, lo) per lane ascending at the stream head
+  for (long lane = n_lanes - 1; lane >= 0; --lane) {
+    words.push_back((uint16_t)st[lane]);          // lo (read 2nd)
+    words.push_back((uint16_t)(st[lane] >> 16));  // hi (read 1st)
+  }
+  if ((long)words.size() > out_cap_words) return -1;
+  for (size_t i = 0; i < words.size(); ++i)
+    out[i] = words[words.size() - 1 - i];
+  return (long)words.size();
+}
+
+// Host mirror of the device interleaved decoder (tests/fallback).
+// Returns 0 on clean end-of-stream + all states back at kLaneL.
+long rans16i_decode(
+    const uint16_t* in, long n_words,
+    const int32_t* indexes,
+    const int64_t* step_counts, long n_steps, long n_lanes,
+    const uint32_t* cdfs, long row_len,
+    const int32_t* offsets,
+    int32_t* out) {
+  long nsyms = row_len - 2;
+  std::vector<uint32_t> st((size_t)n_lanes);
+  const uint16_t* p = in;
+  const uint16_t* end = in + n_words;
+  bool overrun = false;
+  auto rd = [&]() -> uint32_t {
+    if (p >= end) {
+      overrun = true;
+      return 0;
+    }
+    return *p++;
+  };
+  for (long lane = 0; lane < n_lanes; ++lane) {
+    uint32_t hi = rd(), lo = rd();
+    st[lane] = (hi << 16) | lo;
+  }
+  std::vector<uint8_t> esc((size_t)n_lanes);
+  std::vector<int> cnt((size_t)n_lanes);
+  std::vector<uint32_t> uacc((size_t)n_lanes);
+  long base = 0;
+  for (long t = 0; t < n_steps; ++t) {
+    long sc = step_counts[t];
+    long mc = (sc + n_lanes - 1) / n_lanes;
+    for (long k = 0; k < mc; ++k) {
+      long lim = std::min(n_lanes, sc - k * n_lanes);
+      long fb = base + k * n_lanes;
+      for (long lane = 0; lane < lim; ++lane) {  // phase A
+        int32_t idx = indexes[fb + lane];
+        const uint32_t* cdf = cdfs + (long)idx * row_len;
+        uint32_t cum = st[lane] & 0xFFFFu;
+        long lo_ = 0, hi_ = nsyms;
+        while (lo_ < hi_) {
+          long mid = (lo_ + hi_ + 1) >> 1;
+          if (cdf[mid] <= cum) lo_ = mid; else hi_ = mid - 1;
+        }
+        st[lane] =
+            (cdf[lo_ + 1] - cdf[lo_]) * (st[lane] >> kProbBits) + cum - cdf[lo_];
+        if (st[lane] < kLaneL) st[lane] = (st[lane] << 16) | rd();
+        esc[lane] = lo_ == nsyms;
+        uacc[lane] = 0;
+        if (!esc[lane]) out[fb + lane] = (int32_t)(lo_ + offsets[idx]);
+      }
+      for (long lane = 0; lane < lim; ++lane) {  // phase B
+        if (!esc[lane]) continue;
+        cnt[lane] = (int)(st[lane] & 15u) + 1;
+        st[lane] >>= 4;
+        if (st[lane] < kLaneL) st[lane] = (st[lane] << 16) | rd();
+      }
+      for (int i = 0; i < 8; ++i) {  // phases C_i (MSB first)
+        for (long lane = 0; lane < lim; ++lane) {
+          if (!esc[lane] || i >= cnt[lane]) continue;
+          uacc[lane] = (uacc[lane] << 4) | (st[lane] & 15u);
+          st[lane] >>= 4;
+          if (st[lane] < kLaneL) st[lane] = (st[lane] << 16) | rd();
+        }
+      }
+      for (long lane = 0; lane < lim; ++lane) {
+        if (!esc[lane]) continue;
+        int32_t idx = indexes[fb + lane];
+        int32_t delta = unzigzag(uacc[lane]);
+        long b2 = delta < 0 ? 0 : (nsyms - 1);
+        out[fb + lane] = (int32_t)(b2 + delta + offsets[idx]);
+      }
+    }
+    base += sc;
+  }
+  bool ok = !overrun && p == end;
+  for (long lane = 0; lane < n_lanes; ++lane) ok = ok && st[lane] == kLaneL;
   return ok ? 0 : -1;
 }
 

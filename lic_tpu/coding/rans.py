@@ -79,6 +79,16 @@ def _lib() -> ctypes.CDLL:
             u16p, i64p, i32p, i64p, ctypes.c_long, u32p, ctypes.c_long,
             i32p, i32p,
         ]
+        lib.rans16i_encode.restype = ctypes.c_long
+        lib.rans16i_encode.argtypes = [
+            i32p, i32p, i64p, ctypes.c_long, ctypes.c_long,
+            u32p, ctypes.c_long, i32p, u16p, ctypes.c_long,
+        ]
+        lib.rans16i_decode.restype = ctypes.c_long
+        lib.rans16i_decode.argtypes = [
+            u16p, ctypes.c_long, i32p, i64p, ctypes.c_long, ctypes.c_long,
+            u32p, ctypes.c_long, i32p, i32p,
+        ]
         _LIB = lib
         return lib
 

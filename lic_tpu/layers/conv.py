@@ -276,6 +276,11 @@ def _conv_stencil(
             # multiply-add chain the VPU eats, not a matmul
             acc = acc + jnp.einsum("bhwi,io->bhwo", sl, kernel[a, bb].astype(jnp.float32))
     return acc.astype(x.dtype)
+
+
+def _xla_conv5s2(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """XLA strided conv with the reference ZeroPad(1,2,1,2) arithmetic —
+    the Pallas kernel's backward restatement."""
     return lax.conv_general_dilated(
         x, kernel, window_strides=(2, 2),
         padding=((1, 2), (1, 2)),

@@ -240,7 +240,11 @@ class WinBasedAttention(nn.Module):
         attn_mod = WindowAttention(
             dim=c, window_size=ws, num_heads=self.num_heads, name="attn"
         )
-        if _PALLAS_ATTN["enabled"]:
+        # Fused path wins when there are enough windows to fill the grid;
+        # at small spatial dims (e.g. the 32×48 latent WAMs) the XLA path
+        # is marginally faster (measured), so gate by token count.
+        use_fused = _PALLAS_ATTN["enabled"] and hp * wp >= 4096
+        if use_fused:
             from .pallas_attn import flatten_mask
 
             flat = (

@@ -187,25 +187,36 @@ class ChannelCoder:
         # program — σ (hence every CDF row) agrees bit-for-bit by
         # construction, and the decode's former 2-round-trips-per-slice
         # ping-pong (round 2: ~12 RTTs/batch) collapses to ONE dispatch.
-        from ..coding.device_rans import DeviceRans16, Rans16LaneCodec
+        from ..coding.device_rans import (
+            DeviceRans16Interleaved,
+            Rans16InterleavedCodec,
+        )
 
-        self.lane_codec = Rans16LaneCodec(
+        # INTERLEAVED shared-stream format: all lanes' renorm words weave
+        # into one stream, so the device decoder reads each chunk from ONE
+        # contiguous window (dynamic_slice + prefix-sum + one-hot matmul)
+        # instead of per-lane scattered payload gathers (measured: the
+        # gathers, not the math, dominated the segmented decode), and the
+        # container drops the 4 B/lane word-count table — which lets lanes
+        # double to 128 (the TPU lane width) at the segmented format's
+        # 64-lane overhead.
+        self.lane_codec = Rans16InterleavedCodec(
             self.y_coder.codec.cdfs, self.y_coder.codec.offsets
         )
-        self.dev_rans = DeviceRans16(
-            self.y_coder.codec.cdfs, self.y_coder.codec.offsets
+        self.charm_lanes = 128
+        self.dev_rans = DeviceRans16Interleaved(
+            self.y_coder.codec.cdfs, self.y_coder.codec.offsets,
+            self.charm_lanes,
         )
-        self.charm_lanes = 64  # ~256 B/image overhead, plenty of SIMD width
         dev, n_lanes = self.dev_rans, self.charm_lanes
 
-        def slices_pass_impl(p, z_hat, y, payload, wstarts, use_stream):
+        def slices_pass_impl(p, z_hat, y, payload, use_stream):
             b = z_hat.shape[0]
             scales, means = model.apply(
                 {"params": p}, z_hat, method=CodecModel.hyper_decode
             )
             y_slices = jnp.split(y, cfg.num_slices, axis=-1)
-            lanes = dev.init_lanes(payload, wstarts)
-            lane_ids = jnp.arange(n_lanes, dtype=jnp.int32)[None, :]
+            lanes = dev.init_lanes(payload)
             supports, syms_out, rows_out = [], [], []
             for i in range(cfg.num_slices):
                 sup = (
@@ -227,27 +238,30 @@ class ChannelCoder:
                 rows_pad = jnp.pad(
                     rows.reshape(b, s_tot), ((0, 0), (0, mc * n_lanes - s_tot))
                 )
+                # scan over chunks (not fori + dynamic slices): xs are
+                # pre-sliced, ys auto-stacked, and `unroll` amortizes the
+                # per-chunk loop overhead that dominated the decode
+                rows_sc = rows_pad.reshape(b, mc, n_lanes).transpose(1, 0, 2)
+                valid_sc = (
+                    jnp.arange(mc, dtype=jnp.int32)[:, None] * n_lanes
+                    + jnp.arange(n_lanes, dtype=jnp.int32)[None, :]
+                ) < s_tot  # (mc, L)
 
-                def chunk(k, st, rows_pad=rows_pad, s_tot=s_tot):
-                    lanes, out = st
-                    rk = jax.lax.dynamic_slice(
-                        rows_pad, (0, k * n_lanes), (b, n_lanes)
-                    )
-                    valid = (k * n_lanes + lane_ids) < s_tot
+                def chunk(lanes, xs):
+                    rk, vd = xs  # (b, L), (L,)
                     vals, lanes = dev.decode_chunk(
-                        lanes, payload, rk.reshape(-1),
-                        jnp.broadcast_to(valid, (b, n_lanes)).reshape(-1),
+                        lanes, payload, rk,
+                        jnp.broadcast_to(vd, (b, n_lanes)),
                     )
-                    out = jax.lax.dynamic_update_slice(
-                        out, vals.reshape(b, 1, n_lanes), (0, k, 0)
-                    )
-                    return lanes, out
+                    return lanes, vals
 
-                lanes, dec = jax.lax.fori_loop(
-                    0, mc, chunk,
-                    (lanes, jnp.zeros((b, mc, n_lanes), jnp.int32)),
+                lanes, dec = jax.lax.scan(
+                    chunk, lanes, (rows_sc, valid_sc), unroll=8
                 )
-                sym_dec = dec.reshape(b, -1)[:, :s_tot].reshape(rows.shape)
+                sym_dec = (
+                    dec.transpose(1, 0, 2).reshape(b, -1)[:, :s_tot]
+                    .reshape(rows.shape)
+                )
                 sym = jnp.where(use_stream != 0, sym_dec, sym_enc)
                 y_hat = model.apply(
                     {"params": p}, msup, sym.astype(jnp.float32) + mu, i,
@@ -365,8 +379,7 @@ class ChannelCoder:
         b = z3.shape[0]
         sym16, rows, _, _, _ = self._slices_pass(
             z_hat, z3,
-            jnp.zeros((2,), jnp.int32),
-            jnp.zeros((b * self.charm_lanes,), jnp.int32),
+            jnp.zeros((b, 2 * self.charm_lanes), jnp.int32),
             jnp.int32(0),
         )
         sym_np = np.asarray(sym16)
@@ -425,8 +438,7 @@ class ChannelCoder:
         # device fetches via a worker thread
         sym_dev, rows_dev, _, _, _ = self._slices_pass(
             z_hat, z3,
-            jnp.zeros((2,), jnp.int32),
-            jnp.zeros((b * self.charm_lanes,), jnp.int32),
+            jnp.zeros((b, 2 * self.charm_lanes), jnp.int32),
             jnp.int32(0),
         )
 
@@ -464,7 +476,7 @@ class ChannelCoder:
         decoded slices < i) but batching across images amortizes every
         device dispatch B-fold; host rANS decodes run between device steps.
         """
-        from ..coding.device_rans import Rans16LaneCodec
+        from ..coding.device_rans import Rans16InterleavedCodec
 
         b = len(blobs)
         heads = [self._parse_header(d) for d in blobs]
@@ -475,7 +487,7 @@ class ChannelCoder:
         h, w = padded_size(orig_h, orig_w, 64)
 
         z_shape = (1, h // 64, w // 64, self.z_coder.medians.shape[0])
-        z_syms, syns, payloads, wstarts = [], [], [], []
+        z_syms, syns, payloads = [], [], []
         for data, hd in zip(blobs, heads):
             off = hd[0]
             (z_len,) = struct.unpack_from("<I", data, off)
@@ -487,45 +499,39 @@ class ChannelCoder:
             syns.append(hd[3])
             (y_len,) = struct.unpack_from("<I", data, off)
             off += 4
-            nl, ws, pay = Rans16LaneCodec.parse(data[off : off + y_len])
+            nl, pay = Rans16InterleavedCodec.parse(data[off : off + y_len])
             if nl != self.charm_lanes:
                 raise ValueError(
-                    f"rans16 lane count mismatch: stream {nl}, "
+                    f"rans16i lane count mismatch: stream {nl}, "
                     f"decoder {self.charm_lanes}"
                 )
             payloads.append(pay)
-            wstarts.append(ws)
         z_hat = self._z_dec(
             jnp.asarray(np.concatenate(z_syms, axis=0).astype(np.int16))
         )
 
-        # stack per-image payloads into one flat buffer; per-image lane
-        # start offsets are rebased onto it
-        wmax = max(p.size for p in payloads)
+        # stack per-image payloads (B, wmax); >= L trailing zeros keep the
+        # shared-pointer window slice in bounds at the final position
+        wmax = max(p.size for p in payloads) + self.charm_lanes
         pay_flat = np.zeros((b, wmax), np.int32)
-        starts_flat = np.zeros((b, self.charm_lanes), np.int32)
-        for i, (p, ws) in enumerate(zip(payloads, wstarts)):
+        for i, p in enumerate(payloads):
             pay_flat[i, : p.size] = p
-            starts_flat[i] = ws[:-1] + i * wmax
 
         _, _, y_full, lstate, lptr = self._slices_pass(
             z_hat,
             jnp.zeros(
                 (b, h // 16, w // 16, self.model.cfg.N), jnp.float32
             ),
-            jnp.asarray(pay_flat.reshape(-1)),
-            jnp.asarray(starts_flat.reshape(-1)),
+            jnp.asarray(pay_flat),
             jnp.int32(1),
         )
-        ends = np.stack(
-            [ws[1:] + i * wmax for i, ws in enumerate(wstarts)]
-        ).reshape(-1)
+        ends = np.asarray([p.size for p in payloads], np.int32)
         if not (
             np.all(np.asarray(lstate) == np.uint32(1 << 16))
             and np.all(np.asarray(lptr) == ends)
         ):
             raise ValueError(
-                "corrupt or truncated rans16 stream (lane final-state check)"
+                "corrupt or truncated rans16i stream (final-state check)"
             )
 
         m_len = syns[0].size
@@ -643,23 +649,21 @@ class ChannelCoder:
                 rows_pad = jnp.pad(
                     rows.reshape(-1), (0, mc * n_lanes - p_max * c)
                 )
-                lane_ids = jnp.arange(n_lanes, dtype=jnp.int32)
+                # inner chunk loop as an unrolled scan (see slices_pass):
+                # pre-sliced xs + auto-stacked ys, no dynamic slices
+                rows_sc = rows_pad.reshape(mc, n_lanes)
+                valid_sc = (
+                    jnp.arange(mc, dtype=jnp.int32)[:, None] * n_lanes
+                    + jnp.arange(n_lanes, dtype=jnp.int32)[None, :]
+                ) < ns_t  # (mc, L); ns_t is this wavefront's symbol count
 
-                def chunk(k, st):
-                    lanes, out = st
-                    rk = jax.lax.dynamic_slice(
-                        rows_pad, (k * n_lanes,), (n_lanes,)
-                    )
-                    valid = (k * n_lanes + lane_ids) < ns_t
-                    vals, lanes = dev.decode_chunk(lanes, payload, rk, valid)
-                    out = jax.lax.dynamic_update_slice(
-                        out, vals[None], (k, 0)
-                    )
-                    return lanes, out
+                def chunk(lanes, xs):
+                    rk, vd = xs
+                    vals, lanes = dev.decode_chunk(lanes, payload, rk, vd)
+                    return lanes, vals
 
-                lanes, dec = jax.lax.fori_loop(
-                    0, mc, chunk,
-                    (lanes, jnp.zeros((mc, n_lanes), jnp.int32)),
+                lanes, dec = jax.lax.scan(
+                    chunk, lanes, (rows_sc, valid_sc), unroll=8
                 )
                 sym = dec.reshape(-1)[: p_max * c].reshape(p_max, c)
 

@@ -54,9 +54,12 @@ def main():
             rng.standard_normal((8,) + shape).astype(np.float32)
         ).astype(dtype)
         params = module.init(jax.random.PRNGKey(0), x)["params"]
+        # σ=0.01 keeps the 192-ch conv chain contractive (σ=0.05 compounds
+        # to ~1e6 variance through the b-branch and NaNs the bf16 parity
+        # check) while still exercising the zero-init proj weights.
         params = jax.tree.map(
             lambda p: jnp.asarray(
-                rng.standard_normal(p.shape).astype(np.float32) * 0.05
+                rng.standard_normal(p.shape).astype(np.float32) * 0.01
             ),
             params,
         )
@@ -114,13 +117,20 @@ def main():
         )(jax.random.PRNGKey(0), x)["params"]
         params = bf16_params(params)
 
-        def fwd(p, xx, m=model):
+        # NOTE: two DISTINCT function objects — jax.jit(f) twice on the
+        # same f shares one executable cache, so the second timing would
+        # silently reuse the first compile and never see the pallas flag
+        # (which is read at trace time).
+        def fwd_xla(p, xx, m=model):
+            return m.apply({"params": p}, xx, training=False).x_tilde
+
+        def fwd_pal(p, xx, m=model):
             return m.apply({"params": p}, xx, training=False).x_tilde
 
         set_pallas_attn(False)
-        t_xla, _ = timeit(jax.jit(fwd), params, x, iters=5)
+        t_xla, _ = timeit(jax.jit(fwd_xla), params, x, iters=5)
         set_pallas_attn(True)
-        t_pal, _ = timeit(jax.jit(fwd), params, x, iters=5)
+        t_pal, _ = timeit(jax.jit(fwd_pal), params, x, iters=5)
         set_pallas_attn(False)
         mp = 8 * 512 * 768 / 1e6
         print(

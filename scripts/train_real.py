@@ -162,6 +162,13 @@ def main():
                     help="augmented crop pool size (uint8, device-resident)")
     ap.add_argument("--scan_steps", type=int, default=8,
                     help="optimizer steps fused per device dispatch")
+    ap.add_argument("--ema", type=float, default=0.999,
+                    help="Polyak-average decay for an EMA copy of the "
+                         "params (0 disables). The high-capacity presets "
+                         "overfit the 29-image corpus under step "
+                         "extensions (held-out PSNR regressed at 0.0130); "
+                         "EMA is the standard LIC stabilizer. Both raw and "
+                         "EMA params are saved + evaluated.")
     args = ap.parse_args()
 
     from lic_tpu.utils.cache import enable_compilation_cache
@@ -235,22 +242,30 @@ def main():
     K = args.scan_steps
     inner = make_train_step(model, tc, opt)
     data_key = jax.random.PRNGKey(args.seed + 4242)
+    ema_d = jnp.float32(args.ema)
 
     @jax.jit
-    def multi_step(state, pool, call_idx):
-        def body(st, j):
+    def multi_step(state, ema, pool, call_idx):
+        def body(carry, j):
+            st, em = carry
             batch = sample_batch(pool, jax.random.fold_in(data_key, call_idx * K + j))
             st, m = inner(st, batch)
-            return st, (m["loss"], m["bpp"], m["mse"], m["aux"])
-        state, ms = jax.lax.scan(body, state, jnp.arange(K))
-        return state, jax.tree.map(lambda a: a[-1], ms)
+            if args.ema > 0:
+                em = jax.tree.map(
+                    lambda e, p: e * ema_d + p.astype(e.dtype) * (1 - ema_d),
+                    em, st.params,
+                )
+            return (st, em), (m["loss"], m["bpp"], m["mse"], m["aux"])
+        (state, ema), ms = jax.lax.scan(body, (state, ema), jnp.arange(K))
+        return state, ema, jax.tree.map(lambda a: a[-1], ms)
 
+    ema_params = jax.tree.map(lambda p: p.astype(jnp.float32), state.params)
     t0 = time.time()
     n_calls = args.steps // K
     log_every = max(n_calls // 40, 1)
     for i in range(n_calls):
-        state, (loss, bpp, mse, aux) = multi_step(
-            state, pool_dev, jnp.asarray(i)
+        state, ema_params, (loss, bpp, mse, aux) = multi_step(
+            state, ema_params, pool_dev, jnp.asarray(i)
         )
         if i % log_every == 0 or i == n_calls - 1:
             loss = float(loss)
@@ -265,6 +280,8 @@ def main():
             if not np.isfinite(loss):
                 raise SystemExit("NaN loss")
     save_params(os.path.join(args.out, "params.npz"), state.params)
+    if args.ema > 0:
+        save_params(os.path.join(args.out, "params_ema.npz"), ema_params)
 
     # ------------- eval: held-out image + train-set images -------------
     from lic_tpu.data.pad import pad_to_multiple
@@ -275,11 +292,11 @@ def main():
         out = model.apply({"params": params}, xx, training=False)
         return out.x_tilde, out.bpp
 
-    def eval_image(path, tag):
+    def eval_image(path, tag, eval_params):
         img = load_image_uint8(path).astype(np.float32) / 127.5 - 1.0
         x = jnp.asarray(img[None])
         xp, (h, w) = pad_to_multiple(x, 64)
-        x_tilde, bpp_est = fwd(state.params, xp)
+        x_tilde, bpp_est = fwd(eval_params, xp)
         x_tilde = x_tilde[:, :h, :w, :]
         # 0..255-domain PSNR on rounded pixels (reference metric domain)
         rec = np.clip((np.asarray(x_tilde) + 1) * 127.5, 0, 255).round()
@@ -300,7 +317,7 @@ def main():
         try:
             from lic_tpu.models.compress import ChannelCoder
 
-            coder = ChannelCoder(model, state.params, name=args.preset)
+            coder = ChannelCoder(model, eval_params, name=args.preset)
             blob = coder.compress(x)
             r["bpp_real_bitstream"] = round(len(blob) * 8 / (h * w), 4)
             rec2 = np.asarray(coder.decompress(blob))
@@ -316,11 +333,18 @@ def main():
 
     result = {
         "preset": args.preset, "lmbda": args.lmbda, "steps": args.steps,
-        "held_out": eval_image(EVAL_IMAGE, "grace_hopper (held out)"),
+        "held_out": eval_image(
+            EVAL_IMAGE, "grace_hopper (held out)", state.params
+        ),
         "train_set": [
-            eval_image(p, os.path.basename(p)) for p in EVAL_TRAIN_SUBSET
+            eval_image(p, os.path.basename(p), state.params)
+            for p in EVAL_TRAIN_SUBSET
         ],
     }
+    if args.ema > 0:
+        result["held_out_ema"] = eval_image(
+            EVAL_IMAGE, "grace_hopper (held out, EMA)", ema_params
+        )
     print(json.dumps(result), flush=True)
     with open(os.path.join(args.out, "eval.json"), "w") as fd:
         json.dump(result, fd, indent=1)

@@ -113,3 +113,125 @@ def test_lane_schedule_partition():
     assert perm.size == 20
     assert sorted(perm.tolist()) == list(range(20))
     assert starts[-1] == 20
+
+
+# ----------------------------------------------------------- interleaved --
+
+from lic_tpu.coding.device_rans import (  # noqa: E402
+    DeviceRans16Interleaved,
+    Rans16InterleavedCodec,
+)
+
+
+@pytest.mark.parametrize("with_escapes", [False, True])
+@pytest.mark.parametrize("n_lanes", [7, 32])
+def test_rans16i_host_roundtrip(tables, with_escapes, n_lanes):
+    cdfs, offsets = tables
+    step_counts = np.asarray([5, 1, 19, 40, 3, 64, 2])
+    n = int(step_counts.sum())
+    sym, idx = _random_case(tables, 10, n, with_escapes, cdfs.shape[0])
+    codec = Rans16InterleavedCodec(cdfs, offsets)
+    blob = codec.encode(sym, idx, step_counts, n_lanes)
+    out = codec.decode_host(blob, idx, step_counts)
+    np.testing.assert_array_equal(out, sym)
+    # no per-lane count table: vs the segmented container the interleaved
+    # one saves >= 4 bytes/lane minus constant head differences
+    seg = Rans16LaneCodec(cdfs, offsets).encode(sym, idx, step_counts, n_lanes)
+    assert len(blob) < len(seg)
+
+
+def test_rans16i_truncated_raises(tables):
+    cdfs, offsets = tables
+    step_counts = np.asarray([30, 30])
+    sym, idx = _random_case(tables, 11, 60, True, cdfs.shape[0])
+    codec = Rans16InterleavedCodec(cdfs, offsets)
+    blob = codec.encode(sym, idx, step_counts, 8)
+    with pytest.raises(ValueError):
+        codec.decode_host(blob[:-6], idx, step_counts)
+
+
+@pytest.mark.parametrize("with_escapes", [False, True])
+@pytest.mark.parametrize("n_lanes", [8, 32])
+def test_rans16i_device_decoder_matches(tables, with_escapes, n_lanes):
+    import jax
+    import jax.numpy as jnp
+
+    cdfs, offsets = tables
+    step_counts = np.asarray([3, 60, 1, 31, 33, 64, 7])
+    n = int(step_counts.sum())
+    sym, idx = _random_case(tables, 12, n, with_escapes, cdfs.shape[0])
+    codec = Rans16InterleavedCodec(cdfs, offsets)
+    blob = codec.encode(sym, idx, step_counts, n_lanes)
+
+    n_l, payload = Rans16InterleavedCodec.parse(blob)
+    assert n_l == n_lanes
+    dev = DeviceRans16Interleaved(cdfs, offsets, n_lanes)
+    # pad the payload with L zeros so window slices stay in bounds
+    pay = jnp.asarray(
+        np.pad(payload.astype(np.int32), (0, n_lanes))[None]
+    )
+    lanes = dev.init_lanes(pay)
+
+    step = jax.jit(dev.decode_chunk)
+    out = np.zeros(n, np.int32)
+    for lo, hi in _chunks(step_counts, n_lanes):
+        m = hi - lo
+        rows = np.zeros(n_lanes, np.int32)
+        rows[:m] = idx[lo:hi]
+        valid = np.zeros(n_lanes, bool)
+        valid[:m] = True
+        vals, lanes = step(
+            lanes, pay, jnp.asarray(rows)[None], jnp.asarray(valid)[None]
+        )
+        out[lo:hi] = np.asarray(vals)[0, :m]
+    np.testing.assert_array_equal(out, sym)
+
+    # clean end: all lane states back at the interval bound, all words read
+    np.testing.assert_array_equal(
+        np.asarray(lanes.state), np.full((1, n_lanes), 1 << 16, np.uint32)
+    )
+    assert int(lanes.ptr[0]) == payload.size
+
+
+def test_rans16i_device_batched_streams(tables):
+    """Two independent streams of different lengths decode side by side:
+    per-stream shared pointers advance independently."""
+    import jax
+    import jax.numpy as jnp
+
+    cdfs, offsets = tables
+    n_lanes = 16
+    step_counts = np.asarray([40, 9, 33])
+    n = int(step_counts.sum())
+    codec = Rans16InterleavedCodec(cdfs, offsets)
+    syms, idxs, pays = [], [], []
+    for seed, esc in ((20, False), (21, True)):
+        sym, idx = _random_case(tables, seed, n, esc, cdfs.shape[0])
+        blob = codec.encode(sym, idx, step_counts, n_lanes)
+        _, payload = Rans16InterleavedCodec.parse(blob)
+        syms.append(sym)
+        idxs.append(idx)
+        pays.append(payload.astype(np.int32))
+    wmax = max(p.size for p in pays) + n_lanes
+    pay2 = np.zeros((2, wmax), np.int32)
+    for i, p in enumerate(pays):
+        pay2[i, : p.size] = p
+
+    dev = DeviceRans16Interleaved(cdfs, offsets, n_lanes)
+    pay = jnp.asarray(pay2)
+    lanes = dev.init_lanes(pay)
+    step = jax.jit(dev.decode_chunk)
+    out = np.zeros((2, n), np.int32)
+    idx2 = np.stack(idxs)
+    for lo, hi in _chunks(step_counts, n_lanes):
+        m = hi - lo
+        rows = np.zeros((2, n_lanes), np.int32)
+        rows[:, :m] = idx2[:, lo:hi]
+        valid = np.zeros((2, n_lanes), bool)
+        valid[:, :m] = True
+        vals, lanes = step(lanes, pay, jnp.asarray(rows), jnp.asarray(valid))
+        out[:, lo:hi] = np.asarray(vals)[:, :m]
+    np.testing.assert_array_equal(out, np.stack(syms))
+    np.testing.assert_array_equal(
+        np.asarray(lanes.ptr), np.asarray([p.size for p in pays])
+    )
