@@ -126,6 +126,11 @@ class TrainConfig:
     seed: int = 0
     ckpt_every_epochs: int = 100
     aux_lr: float = 1e-3          # factorized-prior quantiles (aux loss)
+    # decoupled weight decay for the base phase (0 = reference-parity
+    # plain Adam).  Regularizer for the high-capacity presets on small
+    # corpora — the flagship's train/held-out gap grows with step
+    # extensions while source_net's does not.
+    weight_decay: float = 0.0
 
 
 @dataclass(frozen=True)

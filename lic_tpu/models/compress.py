@@ -323,12 +323,14 @@ class ChannelCoder:
         # encoder and decoder by construction, immune to cross-executable
         # XLA fusion differences.  Decode therefore needs NO host round
         # trips at all (the round-2 host-rANS loop paid T≈2H'+W' of them).
-        from ..coding.device_rans import DeviceRans16, Rans16LaneCodec
+        from ..coding.device_rans import Rans16InterleavedCodec
 
-        self.lane_codec = Rans16LaneCodec(
-            self.mu_coder.codec.cdfs, self.mu_coder.codec.offsets
-        )
-        self.dev_rans = DeviceRans16(
+        # Interleaved shared-stream format (same rationale as the ChARM
+        # path, see __init__): contiguous-window renorm instead of
+        # per-lane scattered payload gathers, no per-lane count table.
+        # The device decoder is built per latent grid inside _ns_scan
+        # (its lane count is shape-dependent).
+        self.lane_codec = Rans16InterleavedCodec(
             self.mu_coder.codec.cdfs, self.mu_coder.codec.offsets
         )
         self._ns_scan_cache = {}
@@ -586,12 +588,14 @@ class ChannelCoder:
 
     def _ns_scan(self, hy: int, wy: int):
         """Build (and cache) the single-dispatch wavefront executable for a
-        latent grid.  Returns ``fn(h2, payload, wstarts, y_known, mode)``
+        latent grid.  Returns ``fn(h2, payload, y_known, mode)``
         → ``(mu_r (T,P,C), rows (T,P,C), plane, lane_state, lane_ptr)``.
         """
         key = (hy, wy)
         if key in self._ns_scan_cache:
             return self._ns_scan_cache[key]
+
+        from ..coding.device_rans import DeviceRans16Interleaved
 
         cfg = self.model.cfg
         c = cfg.N - cfg.M
@@ -615,13 +619,17 @@ class ChannelCoder:
         )
         tabm = jnp.asarray(self.mu_coder.scale_table, jnp.float32)
         nd = self.mu_coder.n_delta
-        dev = self.dev_rans
+        dev = DeviceRans16Interleaved(
+            self.mu_coder.codec.cdfs, self.mu_coder.codec.offsets, n_lanes
+        )
         model, params = self.model, self.params
 
-        def fn_impl(p, h2, payload, wstarts, y_known, use_stream):
+        def fn_impl(p, h2, payload, y_known, use_stream):
+            # payload: (1, W) int32 — one interleaved stream (B=1), padded
+            # with >= n_lanes trailing zeros by the caller
             hpad = jnp.pad(h2, ((3, 3), (3, 3), (0, 0)))
             ypad = jnp.zeros((hy + 6, wy + 6, c), jnp.float32)
-            lanes = dev.init_lanes(payload, wstarts)
+            lanes = dev.init_lanes(payload)
 
             def body(carry, xs):
                 ypad, lanes = carry
@@ -658,9 +666,11 @@ class ChannelCoder:
                 ) < ns_t  # (mc, L); ns_t is this wavefront's symbol count
 
                 def chunk(lanes, xs):
-                    rk, vd = xs
-                    vals, lanes = dev.decode_chunk(lanes, payload, rk, vd)
-                    return lanes, vals
+                    rk, vd = xs  # (L,), (L,) — add the B=1 stream axis
+                    vals, lanes = dev.decode_chunk(
+                        lanes, payload, rk[None], vd[None]
+                    )
+                    return lanes, vals[0]
 
                 lanes, dec = jax.lax.scan(
                     chunk, lanes, (rows_sc, valid_sc), unroll=8
@@ -711,8 +721,7 @@ class ChannelCoder:
         # encode mode: dummy stream, known integer latents drive the plane
         mu_dev, rows_dev, _, _, _ = fn(
             jnp.asarray(np.asarray(h2, np.float32)[0]),
-            jnp.zeros((2,), jnp.int32),
-            jnp.zeros((n_lanes,), jnp.int32),
+            jnp.zeros((1, 2 * n_lanes), jnp.int32),
             jnp.asarray(y_int),
             jnp.int32(0),
         )
@@ -769,19 +778,22 @@ class ChannelCoder:
         y_blob = data[off : off + y_len]
         hy, wy = int(h2.shape[1]), int(h2.shape[2])
         fn, groups, n_lanes, p_max, c = self._ns_scan(hy, wy)
-        from ..coding.device_rans import Rans16LaneCodec
+        from ..coding.device_rans import Rans16InterleavedCodec
 
-        blob_lanes, wstarts, payload = Rans16LaneCodec.parse(y_blob)
+        blob_lanes, payload = Rans16InterleavedCodec.parse(y_blob)
         if blob_lanes != n_lanes:
             raise ValueError(
-                f"rans16 lane count mismatch: stream {blob_lanes}, "
+                f"rans16i lane count mismatch: stream {blob_lanes}, "
                 f"decoder {n_lanes}"
             )
-        # decode mode: one device dispatch runs the whole wavefront scan
+        # decode mode: one device dispatch runs the whole wavefront scan;
+        # >= n_lanes trailing zeros keep the shared-pointer window slice
+        # in bounds at the final position
         _, _, plane, lstate, lptr = fn(
             jnp.asarray(np.asarray(h2, np.float32)[0]),
-            jnp.asarray(payload.astype(np.int32)),
-            jnp.asarray(wstarts[:-1].astype(np.int32)),
+            jnp.asarray(
+                np.pad(payload.astype(np.int32), (0, n_lanes))[None]
+            ),
             jnp.zeros((hy, wy, c), jnp.int32),
             jnp.int32(1),
         )
@@ -789,10 +801,10 @@ class ChannelCoder:
         # every word consumed (the single-stream path's finish() analogue)
         if not (
             np.all(np.asarray(lstate) == np.uint32(1 << 16))
-            and np.all(np.asarray(lptr) == wstarts[1:])
+            and np.all(np.asarray(lptr) == payload.size)
         ):
             raise ValueError(
-                "corrupt or truncated rans16 stream (lane final-state check)"
+                "corrupt or truncated rans16i stream (final-state check)"
             )
 
         content = jnp.asarray(plane)[None]

@@ -112,7 +112,11 @@ def make_optimizer(
             train_cfg.lr, train_cfg.lr_milestones, steps_per_epoch,
             train_cfg.lr_gamma,
         )
-        inner = optax.adam(sched)
+        inner = (
+            optax.adamw(sched, weight_decay=train_cfg.weight_decay)
+            if train_cfg.weight_decay > 0
+            else optax.adam(sched)
+        )
     main = optax.chain(
         optax.clip_by_global_norm(train_cfg.grad_clip_norm),
         inner,

@@ -141,6 +141,9 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--wd", type=float, default=0.0,
+                    help="decoupled weight decay (AdamW) for the base "
+                         "phase; 0 = reference-parity plain Adam")
     ap.add_argument("--init_from", default="",
                     help="warm-start params npz (e.g. the previous λ point)")
     ap.add_argument("--is_high", action="store_true",
@@ -210,6 +213,7 @@ def main():
             int(args.steps * f / spe) for f in (0.8, 0.9)
         ),
         seed=args.seed,
+        weight_decay=args.wd,
     )
     opt = make_optimizer(
         tc, steps_per_epoch=spe, post_processing_phase=args.phase2

@@ -137,6 +137,19 @@ class TestOptimizer:
         assert q_step == pytest.approx(1e-3, rel=1e-2)
         assert g_step == pytest.approx(1e-4, rel=1e-2)
 
+    def test_weight_decay_shrinks_params(self):
+        """weight_decay > 0 switches the base phase to AdamW: a zero
+        gradient still shrinks a weight, while wd=0 leaves it untouched."""
+        params = {"g_a": {"kernel": jnp.full((3, 3), 2.0)}}
+        grads = jax.tree.map(jnp.zeros_like, params)
+        for wd, moves in ((0.0, False), (0.01, True)):
+            tc = TrainConfig(lr=1e-2, weight_decay=wd)
+            opt = make_optimizer(tc, steps_per_epoch=10)
+            state = opt.init(params)
+            updates, _ = opt.update(grads, state, params)
+            step = np.abs(np.asarray(updates["g_a"]["kernel"])).mean()
+            assert (step > 0) == moves, (wd, step)
+
     def test_quantiles_converge_to_tails(self):
         """Driving only the aux loss moves quantiles toward the tail-mass
         targets (logits → ±log(2/tail−1), middle → median)."""
