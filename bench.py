@@ -129,13 +129,23 @@ def main():
     # doesn't speak only for the lightest model.
     # ("source_net:high" = the reference's --high N=384/M=32 capacity,
     # model/net.py:446-453 — capacity changes the perf picture)
-    for name in ("net_unet_ha_hs_dec", "net_ga", "source_net:high"):
+    # ":pallas_attn" re-times the flagship with the fused window-attention
+    # kernel (WAM @128x192 is half its g_a bill — profile_ga) so one bench
+    # run settles the E2E A/B; NOTE each variant gets its OWN jitted
+    # function object (jit caches per function, and the pallas flag is
+    # read at trace time — sharing one fwd would silently reuse the first
+    # compile).
+    from lic_tpu.layers.win_attention import set_pallas_attn
+
+    for name in (
+        "net_unet_ha_hs_dec",
+        "net_unet_ha_hs_dec:pallas_attn",
+        "net_ga",
+        "source_net:high",
+    ):
+        preset, _, variant = name.partition(":")
         try:
-            m2 = (
-                build_model("source_net", is_high=True)
-                if name == "source_net:high"
-                else build_model(name)
-            )
+            m2 = build_model(preset, is_high=(variant == "high"))
             init2 = jax.jit(
                 lambda k, xx, m=m2: m.init(
                     {"params": k, "noise": jax.random.PRNGKey(1)},
@@ -149,10 +159,14 @@ def main():
                 o = m.apply({"params": p}, xx, training=False)
                 return o.x_tilde, o.bpp
 
-            vals = [
-                mp_batch * iters / _measure(fwd2, p2, xb, iters)
-                for _ in range(3)
-            ]
+            set_pallas_attn(variant == "pallas_attn")
+            try:
+                vals = [
+                    mp_batch * iters / _measure(fwd2, p2, xb, iters)
+                    for _ in range(3)
+                ]
+            finally:
+                set_pallas_attn(False)
             key = name.replace(":", "_")
             extra[f"{key}_bf16_median"] = statistics.median(vals)
         except Exception as e:
