@@ -19,13 +19,18 @@ def main():
         with open(p) as fd:
             r = json.load(fd)
         h = r.get("held_out", r)  # older runs stored held-out metrics flat
-        rows.append({
-            "run": os.path.basename(os.path.dirname(p)),
-            "preset": r["preset"], "lmbda": r["lmbda"], "steps": r["steps"],
-            "bpp_real": h.get("bpp_real_bitstream", "—"),
-            "bpp_est": h["bpp_estimated"],
-            "psnr": h["psnr_255"], "msssim": h["msssim"],
-        })
+        variants = [("", h)]
+        if "held_out_ema" in r:  # Polyak-averaged params, same run
+            variants.append((" (EMA)", r["held_out_ema"]))
+        for tag, hh in variants:
+            rows.append({
+                "run": os.path.basename(os.path.dirname(p)) + tag,
+                "preset": r["preset"], "lmbda": r["lmbda"],
+                "steps": r["steps"],
+                "bpp_real": hh.get("bpp_real_bitstream", "—"),
+                "bpp_est": hh["bpp_estimated"],
+                "psnr": hh["psnr_255"], "msssim": hh["msssim"],
+            })
     rows.sort(key=lambda r: r["bpp_est"])
 
     print("| run | preset | λ | steps | bpp (real bitstream) | bpp (est.) | PSNR | MS-SSIM |")
