@@ -77,8 +77,15 @@ def main():
         scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) + 1e-9
         print(
             f"  {name:36s} xla {t_xla:7.2f} ms   pallas {t_pal:7.2f} ms   "
-            f"({t_xla / t_pal:4.2f}x)  relerr {err / scale:.2e}"
+            f"({t_xla / t_pal:4.2f}x)  relerr {err / scale:.2e}",
+            flush=True,
         )
+        # free device buffers + donate executables between modules — the
+        # probe previously OOM'd the chip accumulating every module's
+        # params/activations plus two full-model compiles (ResourceExhausted
+        # at the 19:42 run, chain7.log)
+        del params, x, ref, got
+        jax.clear_caches()
 
     print("WBA / WAM fused-attention probe b8 bf16:")
     bench_mod(
@@ -135,8 +142,11 @@ def main():
         mp = 8 * 512 * 768 / 1e6
         print(
             f"  {preset:24s} fwd: xla {t_xla:7.2f} ms ({mp / t_xla * 1e3:6.1f}"
-            f" MP/s)  pallas {t_pal:7.2f} ms ({mp / t_pal * 1e3:6.1f} MP/s)"
+            f" MP/s)  pallas {t_pal:7.2f} ms ({mp / t_pal * 1e3:6.1f} MP/s)",
+            flush=True,
         )
+        del params, x
+        jax.clear_caches()
 
 
 if __name__ == "__main__":

@@ -65,7 +65,9 @@ def main():
         ).astype(jnp.bfloat16)
         ms = timeit(conv_fn(3), x, wgt)
         gf = 2 * 9 * 192 * 192 * b * h * w / 1e9
-        print(f"  b{b:2d} {h}x{w}: {ms:7.2f} ms  {gf/ms:6.1f} TF/s")
+        print(f"  b{b:2d} {h}x{w}: {ms:7.2f} ms  {gf/ms:6.1f} TF/s", flush=True)
+        del x, wgt
+        jax.clear_caches()
 
     print("conv3x3 192->192 @8x128x192, bf16 accum (no preferred fp32):")
     x = jnp.asarray(
@@ -83,7 +85,8 @@ def main():
     ms = timeit(f_bf, x, wgt)
     print(f"  {ms:7.2f} ms  {130.6/ms:6.1f} TF/s")
 
-    print("1x1-as-matmul bound (same MACs as one of 9 taps x 9):")
+    jax.clear_caches()
+    print("1x1-as-matmul bound (same MACs as one of 9 taps x 9):", flush=True)
     xm = x.reshape(-1, 192)
     wm = jnp.asarray(
         rng.standard_normal((192, 9 * 192)).astype(np.float32) * 0.05
