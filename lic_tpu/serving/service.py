@@ -1,0 +1,241 @@
+"""Production serving layer: request batching over the codec pipeline.
+
+The reference has no serving story (its eval loop rebuilds the model per
+image, ``eval_net.py:90-91``).  On TPU the economics are different: the
+compiled batched pipeline (`ChannelCoder.compress_batch` /
+``decompress_batch``) amortizes every device dispatch B-fold, so the right
+serving shape is *dynamic batching* — admit requests on any thread, group
+them by padded image size (one compiled executable per size bucket), and
+drive the device from ONE scheduler thread (single-TPU-process
+discipline; host rANS already overlaps on a worker inside the coder).
+
+Usage::
+
+    svc = CodecService(model, params, name="source_net", max_batch=8)
+    svc.start()
+    fut = svc.submit_compress(img)          # (H, W, 3) float in [-1, 1]
+    blob = fut.result()
+    rec = svc.submit_decompress(blob).result()
+    svc.stop()
+
+Guarantees:
+
+* bitstreams are byte-identical to the unbatched ``ChannelCoder`` paths
+  (the coder's own invariant — tested);
+* requests of different sizes never share a batch (different padded
+  shapes would recompile anyway);
+* ``max_wait_ms`` bounds the extra latency batching may add under low
+  load; a full bucket dispatches immediately.
+"""
+
+from __future__ import annotations
+
+import struct
+import threading
+import time
+from collections import defaultdict, deque
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Deque, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class ServiceStats:
+    requests: int = 0
+    batches: int = 0
+    errors: int = 0
+    latencies_ms: Deque[float] = field(default_factory=lambda: deque(maxlen=4096))
+
+    def snapshot(self) -> Dict[str, float]:
+        lat = sorted(self.latencies_ms)
+        pct = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))] if lat else 0.0
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "errors": self.errors,
+            "mean_batch": self.requests / self.batches if self.batches else 0.0,
+            "p50_ms": pct(0.50),
+            "p95_ms": pct(0.95),
+        }
+
+
+class _Req:
+    __slots__ = ("kind", "payload", "future", "t0")
+
+    def __init__(self, kind: str, payload: Any):
+        self.kind = kind
+        self.payload = payload
+        self.future: Future = Future()
+        self.t0 = time.perf_counter()
+
+
+class CodecService:
+    """Dynamic-batching codec server over one (model, params) pair."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        name: str = "",
+        max_batch: int = 8,
+        max_wait_ms: float = 5.0,
+        max_queue: int = 256,
+    ):
+        from ..models.compress import ChannelCoder
+
+        self.coder = ChannelCoder(model, params, name=name)
+        self.max_batch = int(max_batch)
+        self.max_wait_ms = float(max_wait_ms)
+        self.max_queue = int(max_queue)
+        self.stats = ServiceStats()
+        self._lock = threading.Condition()
+        # one FIFO per (kind, size-bucket): different padded sizes compile
+        # different executables and must not share a batch
+        self._queues: Dict[Tuple, Deque[_Req]] = defaultdict(deque)
+        self._pending = 0
+        self._stopping = False
+        self._thread: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------ admit
+
+    def submit_compress(self, image: np.ndarray) -> Future:
+        """image: (H, W, 3) float32 in [−1, 1].  → Future[bytes]."""
+        img = np.asarray(image, np.float32)
+        if img.ndim != 3 or img.shape[-1] != 3:
+            raise ValueError(f"expected (H, W, 3) image, got {img.shape}")
+        return self._enqueue(("c", img.shape[0], img.shape[1]), _Req("c", img))
+
+    def submit_decompress(self, blob: bytes) -> Future:
+        """blob: one bitstream from this codec.  → Future[np.ndarray]."""
+        h, w = self._blob_size(blob)
+        return self._enqueue(("d", h, w), _Req("d", blob))
+
+    def _blob_size(self, blob: bytes) -> Tuple[int, int]:
+        _, h, w, _ = self.coder._parse_header(blob)
+        return h, w
+
+    def _enqueue(self, bucket: Tuple, req: _Req) -> Future:
+        with self._lock:
+            if self._stopping:
+                raise RuntimeError("CodecService is stopped")
+            if self._pending >= self.max_queue:
+                raise RuntimeError(
+                    f"CodecService queue full ({self.max_queue}) — backpressure"
+                )
+            self._queues[bucket].append(req)
+            self._pending += 1
+            self._lock.notify()
+        return req.future
+
+    # -------------------------------------------------------- scheduler
+
+    def start(self) -> "CodecService":
+        if self._thread is not None:
+            return self
+        self._stopping = False
+        self._thread = threading.Thread(
+            target=self._run, name="codec-service", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self, drain: bool = True) -> None:
+        with self._lock:
+            if drain:
+                while self._pending and self._thread is not None:
+                    self._lock.wait(timeout=0.1)
+            self._stopping = True
+            self._lock.notify()
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def warmup(self, sizes: List[Tuple[int, int]], batch: Optional[int] = None) -> None:
+        """Precompile the batched pipeline for the given (H, W) buckets."""
+        b = batch or self.max_batch
+        for h, w in sizes:
+            x = np.zeros((b, h, w, 3), np.float32)
+            blobs = self.coder.compress_batch(self._to_device(x))
+            self.coder.decompress_batch(blobs)
+
+    @staticmethod
+    def _to_device(x: np.ndarray):
+        import jax.numpy as jnp
+
+        return jnp.asarray(x)
+
+    def _take_batch(self) -> Optional[List[_Req]]:
+        """Called with the lock held.  Returns a full or timed-out bucket."""
+        now = time.perf_counter()
+        best = None
+        for bucket, q in self._queues.items():
+            if not q:
+                continue
+            full = len(q) >= self.max_batch
+            aged = (now - q[0].t0) * 1000.0 >= self.max_wait_ms
+            if full or aged:
+                if best is None or q[0].t0 < self._queues[best][0].t0:
+                    best = bucket
+        if best is None:
+            return None
+        q = self._queues[best]
+        batch = [q.popleft() for _ in range(min(self.max_batch, len(q)))]
+        self._pending -= len(batch)
+        return batch
+
+    def _run(self) -> None:
+        while True:
+            with self._lock:
+                batch = self._take_batch()
+                if batch is None:
+                    if self._stopping:
+                        return
+                    # sleep until the oldest request ages out (or new work)
+                    self._lock.wait(timeout=self.max_wait_ms / 1000.0)
+                    continue
+            self._process(batch)
+            with self._lock:
+                self._lock.notify_all()
+
+    def _process(self, batch: List[_Req]) -> None:
+        kind = batch[0].kind
+        # the batched device pipeline covers the charm slice models; the
+        # AR families (neural_syntax wavefront, entroformer checkerboard)
+        # run per image through their own device-scan paths
+        batched = not (self.coder.is_ns or getattr(self.coder, "is_entro", False))
+        try:
+            if kind == "c":
+                if batched:
+                    xs = self._to_device(np.stack([r.payload for r in batch]))
+                    blobs = self.coder.compress_batch(xs)
+                else:
+                    blobs = [
+                        self.coder.compress(self._to_device(r.payload[None]))
+                        for r in batch
+                    ]
+                for r, b in zip(batch, blobs):
+                    r.future.set_result(b)
+            else:
+                if batched:
+                    recs = np.asarray(
+                        self.coder.decompress_batch([r.payload for r in batch])
+                    )
+                else:
+                    recs = [
+                        np.asarray(self.coder.decompress(r.payload))[0]
+                        for r in batch
+                    ]
+                for i, r in enumerate(batch):
+                    r.future.set_result(recs[i])
+            t1 = time.perf_counter()
+            for r in batch:
+                self.stats.latencies_ms.append((t1 - r.t0) * 1000.0)
+            self.stats.requests += len(batch)
+            self.stats.batches += 1
+        except Exception as e:
+            self.stats.errors += len(batch)
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(e)

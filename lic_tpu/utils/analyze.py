@@ -90,3 +90,70 @@ def dump_feature_maps(
         img = ((ch - lo) / max(hi - lo, 1e-12) * 255).astype(np.uint8)
         Image.fromarray(img).save(os.path.join(out_dir, f"{prefix}_{c}.png"))
     return n
+
+
+def dump_feature_heatmaps(
+    feats,
+    out_dir: str,
+    prefix: str = "feat",
+    max_channels: int = 16,
+    cmap: str = "jet",
+    annot_grid: bool = False,
+) -> int:
+    """Styled per-channel heatmap renders of (1, H, W, C) features — the
+    colormapped/seaborn presentation of ``model/visual_Feature.py:51-162``
+    (cv2 JET colormap dumps + seaborn heatmaps), without the hard-coded
+    absolute output paths.  Uses seaborn when importable, falls back to
+    bare matplotlib, and no-ops gracefully without either.  Returns the
+    number of files written.
+
+    ``annot_grid`` additionally writes one figure tiling the first
+    ``max_channels`` channels (the reference's per-layer grid view).
+    """
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return 0
+    try:
+        import seaborn as sns
+    except Exception:
+        sns = None
+
+    os.makedirs(out_dir, exist_ok=True)
+    f = np.asarray(feats)[0]
+    n = min(f.shape[-1], max_channels)
+    for c in range(n):
+        fig, ax = plt.subplots(figsize=(4, 3))
+        if sns is not None:
+            sns.heatmap(
+                f[..., c], cmap=cmap, cbar=True,
+                xticklabels=False, yticklabels=False, ax=ax,
+            )
+        else:
+            im = ax.imshow(f[..., c], cmap=cmap)
+            fig.colorbar(im, ax=ax)
+            ax.set_xticks([])
+            ax.set_yticks([])
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, f"{prefix}_{c}_heat.png"), dpi=96)
+        plt.close(fig)
+    written = n
+    if annot_grid and n:
+        cols = int(np.ceil(np.sqrt(n)))
+        rows = -(-n // cols)
+        fig, axes = plt.subplots(
+            rows, cols, figsize=(2.2 * cols, 1.8 * rows), squeeze=False
+        )
+        for c in range(rows * cols):
+            ax = axes[c // cols][c % cols]
+            if c < n:
+                ax.imshow(f[..., c], cmap=cmap)
+            ax.axis("off")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, f"{prefix}_grid.png"), dpi=96)
+        plt.close(fig)
+        written += 1
+    return written

@@ -330,6 +330,20 @@ class TestUtils:
         hm = erf_heatmap(score)
         assert hm.max() <= 1.0
 
+    def test_dump_feature_heatmaps(self, tmp_path):
+        from lic_tpu.utils.analyze import dump_feature_heatmaps
+
+        feats = np.random.default_rng(0).standard_normal((1, 8, 6, 5))
+        n = dump_feature_heatmaps(
+            feats, str(tmp_path), prefix="t", max_channels=3, annot_grid=True
+        )
+        import os
+
+        if n:  # matplotlib present: 3 per-channel renders + 1 grid
+            assert n == 4
+            assert os.path.exists(tmp_path / "t_0_heat.png")
+            assert os.path.exists(tmp_path / "t_grid.png")
+
     def test_span_profiler(self):
         from lic_tpu.utils.profiling import reset_spans, span, span_stats
 
