@@ -5,6 +5,11 @@ Usage:
         --weight_path ckpt/final.npz --preset net_ga
     python -m lic_tpu.cli.codec decompress out.ltc rec.png \
         --weight_path ckpt/final.npz --preset net_ga
+
+Directory batch mode (input AND output are directories): images are
+grouped by size and driven through the batched device pipeline — one
+dispatch per stage per size bucket instead of per file
+(``compress_batch``/``decompress_batch``; ``--batch`` caps the bucket).
 """
 
 from __future__ import annotations
@@ -15,11 +20,13 @@ import argparse
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="lic_tpu bitstream codec")
     p.add_argument("command", choices=("compress", "decompress"))
-    p.add_argument("input")
-    p.add_argument("output")
+    p.add_argument("input", help="image/.ltc file, or a directory of them")
+    p.add_argument("output", help="output file, or a directory (batch mode)")
     p.add_argument("--weight_path", required=True)
     p.add_argument("--preset", default="net_ga")
     p.add_argument("--high", action="store_true")
+    p.add_argument("--batch", type=int, default=8,
+                   help="max images per device batch in directory mode")
     return p
 
 
@@ -44,6 +51,12 @@ def main(argv=None) -> None:
     params = load_params(args.weight_path, variables["params"])
     coder = ChannelCoder(model, params, name=args.preset)
 
+    import os
+
+    if os.path.isdir(args.input):
+        _run_dir(args, coder)
+        return
+
     if args.command == "compress":
         img = load_image_uint8(args.input).astype(np.float32) / 127.5 - 1.0
         x = jnp.asarray(img[None])
@@ -62,6 +75,87 @@ def main(argv=None) -> None:
         img = np.clip((rec + 1.0) * 127.5, 0, 255).astype(np.uint8)
         Image.fromarray(img).save(args.output)
         print(f"{args.input} → {args.output}: {img.shape[1]}x{img.shape[0]}")
+
+
+def _run_dir(args, coder) -> None:
+    """Directory batch mode: size-bucketed batched device pipeline."""
+    import os
+    from collections import defaultdict
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data.datasets import load_image_uint8
+
+    os.makedirs(args.output, exist_ok=True)
+    # AR families decode per image through their own device-scan paths
+    batched = not (coder.is_ns or getattr(coder, "is_entro", False))
+
+    if args.command == "compress":
+        exts = (".png", ".jpg", ".jpeg", ".bmp", ".ppm")
+        names = sorted(
+            n for n in os.listdir(args.input) if n.lower().endswith(exts)
+        )
+        buckets = defaultdict(list)
+        for n in names:
+            img = (
+                load_image_uint8(os.path.join(args.input, n))
+                .astype(np.float32) / 127.5 - 1.0
+            )
+            buckets[img.shape[:2]].append((n, img))
+        total_bits = total_px = 0
+        for (h, w), items in buckets.items():
+            for i in range(0, len(items), max(1, args.batch)):
+                chunk = items[i : i + max(1, args.batch)]
+                if batched and len(chunk) > 1:
+                    xs = jnp.asarray(np.stack([im for _, im in chunk]))
+                    blobs = coder.compress_batch(xs)
+                else:
+                    blobs = [
+                        coder.compress(jnp.asarray(im[None])) for _, im in chunk
+                    ]
+                for (n, _), blob in zip(chunk, blobs):
+                    out = os.path.join(
+                        args.output, os.path.splitext(n)[0] + ".ltc"
+                    )
+                    with open(out, "wb") as fd:
+                        fd.write(blob)
+                    total_bits += len(blob) * 8
+                    total_px += h * w
+                    print(f"{n} → {out}: {len(blob)} bytes "
+                          f"({len(blob) * 8 / (h * w):.4f} bpp)")
+        if total_px:
+            print(f"avg: {total_bits / total_px:.4f} bpp over {len(names)} files")
+    else:
+        from PIL import Image
+
+        names = sorted(
+            n for n in os.listdir(args.input) if n.lower().endswith(".ltc")
+        )
+        buckets = defaultdict(list)
+        for n in names:
+            with open(os.path.join(args.input, n), "rb") as fd:
+                blob = fd.read()
+            _, h, w, _ = coder._parse_header(blob)
+            buckets[(h, w)].append((n, blob))
+        for (h, w), items in buckets.items():
+            for i in range(0, len(items), max(1, args.batch)):
+                chunk = items[i : i + max(1, args.batch)]
+                if batched and len(chunk) > 1:
+                    recs = np.asarray(
+                        coder.decompress_batch([b for _, b in chunk])
+                    )
+                else:
+                    recs = [
+                        np.asarray(coder.decompress(b))[0] for _, b in chunk
+                    ]
+                for (n, _), rec in zip(chunk, recs):
+                    img = np.clip((rec + 1.0) * 127.5, 0, 255).astype(np.uint8)
+                    out = os.path.join(
+                        args.output, os.path.splitext(n)[0] + ".png"
+                    )
+                    Image.fromarray(img).save(out)
+                    print(f"{n} → {out}: {img.shape[1]}x{img.shape[0]}")
 
 
 if __name__ == "__main__":
