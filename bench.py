@@ -207,6 +207,44 @@ def main():
     except Exception as e:  # codec path must never sink the headline
         extra["codec_error"] = f"{type(e).__name__}: {e}"
 
+    # ---- entroformer checkerboard codec: 2-pass AR on the single-dispatch
+    # device-rANS contract (round 3); trained ckpt when the queue has
+    # produced one, else random init (bpp then overstates the host share)
+    try:
+        from lic_tpu.models.compress import ChannelCoder
+        from lic_tpu.utils.checkpoint import load_params
+        import os
+
+        e_model = build_model("entroformer_cb")
+        e_init = jax.jit(
+            lambda k, xx: e_model.init(
+                {"params": k, "noise": jax.random.PRNGKey(1)},
+                xx, training=True,
+            )
+        )
+        e_params = e_init(jax.random.PRNGKey(0), x)["params"]
+        e_ckpt = "rd_runs/v2_entro_0.0067/params.npz"
+        if os.path.exists(e_ckpt):
+            e_params = load_params(e_ckpt, e_params)
+            extra["entro_codec_params"] = "trained (rd_runs/v2_entro_0.0067)"
+        e_coder = ChannelCoder(e_model, e_params, name="entroformer_cb")
+        blobs = e_coder.compress_batch(x)        # warmup/compile
+        rec = e_coder.decompress_batch(blobs)
+        _ = float(jnp.ravel(rec)[0])
+        vals = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            blobs = e_coder.compress_batch(x)
+            rec = e_coder.decompress_batch(blobs)
+            _ = float(jnp.ravel(rec)[0])
+            vals.append(mp_batch / (time.perf_counter() - t0))
+        extra["entro_codec_mps"] = round(statistics.median(vals), 3)
+        extra["entro_codec_bpp"] = round(
+            sum(len(b) for b in blobs) * 8 / (h * w * batch), 4
+        )
+    except Exception as e:
+        extra["entro_codec_error"] = f"{type(e).__name__}: {e}"
+
     # ---- neural-syntax wavefront codec: the position-sequential AR decode
     # the reference trains but never implements (model/net.py:219-319).
     # Measured on a smaller image — decode is a host loop of ~2H'+W' device

@@ -88,8 +88,8 @@ def _run_dir(args, coder) -> None:
     from ..data.datasets import load_image_uint8
 
     os.makedirs(args.output, exist_ok=True)
-    # AR families decode per image through their own device-scan paths
-    batched = not (coder.is_ns or getattr(coder, "is_entro", False))
+    # the NS wavefront decodes per image through its own device scan
+    batched = not coder.is_ns
 
     if args.command == "compress":
         exts = (".png", ".jpg", ".jpeg", ".bmp", ".ppm")

@@ -139,8 +139,6 @@ class ChannelCoder:
         self._syntax = ap(CodecModel.syntax_from_latent)
         self._synthesize = ap(CodecModel.synthesize)
         self.is_entro = model.cfg.context == "entroformer"
-        if self.is_entro:
-            self._entro = ap(CodecModel.entro_predict)
         medians = model.apply({"params": params}, method=CodecModel.eb_medians)
         pmf = model.apply(
             {"params": params}, -Z_RANGE, Z_RANGE - 1,
@@ -210,6 +208,35 @@ class ChannelCoder:
         )
         dev, n_lanes = self.dev_rans, self.charm_lanes
 
+        def drain(lanes, payload, rows_flat, s_tot):
+            """Decode ``s_tot`` symbols from the lane-parallel stream with
+            CDF rows ``rows_flat`` (b, s_tot) — chunked lax.scan (xs are
+            pre-sliced, ys auto-stacked, `unroll` amortizes the per-chunk
+            loop overhead that dominated the decode)."""
+            b = rows_flat.shape[0]
+            mc = -(-s_tot // n_lanes)
+            rows_pad = jnp.pad(
+                rows_flat, ((0, 0), (0, mc * n_lanes - s_tot))
+            )
+            rows_sc = rows_pad.reshape(b, mc, n_lanes).transpose(1, 0, 2)
+            valid_sc = (
+                jnp.arange(mc, dtype=jnp.int32)[:, None] * n_lanes
+                + jnp.arange(n_lanes, dtype=jnp.int32)[None, :]
+            ) < s_tot  # (mc, L)
+
+            def chunk(lanes, xs):
+                rk, vd = xs  # (b, L), (L,)
+                vals, lanes = dev.decode_chunk(
+                    lanes, payload, rk,
+                    jnp.broadcast_to(vd, (b, n_lanes)),
+                )
+                return lanes, vals
+
+            lanes, dec = jax.lax.scan(
+                chunk, lanes, (rows_sc, valid_sc), unroll=8
+            )
+            return lanes, dec.transpose(1, 0, 2).reshape(b, -1)[:, :s_tot]
+
         def slices_pass_impl(p, z_hat, y, payload, use_stream):
             b = z_hat.shape[0]
             scales, means = model.apply(
@@ -234,34 +261,10 @@ class ChannelCoder:
                 ).astype(jnp.int32)
 
                 s_tot = rows.shape[1] * rows.shape[2] * rows.shape[3]
-                mc = -(-s_tot // n_lanes)
-                rows_pad = jnp.pad(
-                    rows.reshape(b, s_tot), ((0, 0), (0, mc * n_lanes - s_tot))
+                lanes, dec = drain(
+                    lanes, payload, rows.reshape(b, s_tot), s_tot
                 )
-                # scan over chunks (not fori + dynamic slices): xs are
-                # pre-sliced, ys auto-stacked, and `unroll` amortizes the
-                # per-chunk loop overhead that dominated the decode
-                rows_sc = rows_pad.reshape(b, mc, n_lanes).transpose(1, 0, 2)
-                valid_sc = (
-                    jnp.arange(mc, dtype=jnp.int32)[:, None] * n_lanes
-                    + jnp.arange(n_lanes, dtype=jnp.int32)[None, :]
-                ) < s_tot  # (mc, L)
-
-                def chunk(lanes, xs):
-                    rk, vd = xs  # (b, L), (L,)
-                    vals, lanes = dev.decode_chunk(
-                        lanes, payload, rk,
-                        jnp.broadcast_to(vd, (b, n_lanes)),
-                    )
-                    return lanes, vals
-
-                lanes, dec = jax.lax.scan(
-                    chunk, lanes, (rows_sc, valid_sc), unroll=8
-                )
-                sym_dec = (
-                    dec.transpose(1, 0, 2).reshape(b, -1)[:, :s_tot]
-                    .reshape(rows.shape)
-                )
+                sym_dec = dec.reshape(rows.shape)
                 sym = jnp.where(use_stream != 0, sym_dec, sym_enc)
                 y_hat = model.apply(
                     {"params": p}, msup, sym.astype(jnp.float32) + mu, i,
@@ -278,8 +281,65 @@ class ChannelCoder:
                 lanes.ptr,
             )
 
-        if not self.is_entro:
-            self._slices_pass = partial(jax.jit(slices_pass_impl), params)
+        def entro_pass_impl(p, z_hat, y, payload, use_stream):
+            """Checkerboard analog of ``slices_pass_impl``: pass 1 codes the
+            anchor half (prior only), pass 2 the non-anchors given decoded
+            anchors — same single-dispatch encode/decode contract.  The
+            anchor gather/scatter uses static flat indexes (trace-time
+            numpy from the concrete latent shape; symbol order matches the
+            boolean-mask raster order of the old host path)."""
+            from ..layers.entroformer import checkerboard_masks
+
+            b, yh, yw, c = y.shape
+            mask = np.broadcast_to(
+                checkerboard_masks(yh, yw)[0][:, :, None], (yh, yw, c)
+            )
+            idxs = [
+                jnp.asarray(np.flatnonzero(mask.reshape(-1))),
+                jnp.asarray(np.flatnonzero(~mask.reshape(-1))),
+            ]
+            scales, means = model.apply(
+                {"params": p}, z_hat, method=CodecModel.hyper_decode
+            )
+            y_flat = y.reshape(b, -1)
+            lanes = dev.init_lanes(payload)
+            y_known = jnp.zeros_like(y)
+            syms_out, rows_out = [], []
+            for idx in idxs:
+                mu, sigma = model.apply(
+                    {"params": p}, y_known, scales, means,
+                    method=CodecModel.entro_predict,
+                )
+                mu_f = jnp.take(mu.reshape(b, -1), idx, axis=1)
+                rows_f = jnp.take(
+                    _dev_scale_idx(sigma, tab).astype(jnp.int32)
+                    .reshape(b, -1), idx, axis=1,
+                )
+                sym_enc = jnp.clip(
+                    jnp.round(jnp.take(y_flat, idx, axis=1) - mu_f),
+                    -_SYM_CLIP, _SYM_CLIP,
+                ).astype(jnp.int32)
+                lanes, sym_dec = drain(lanes, payload, rows_f, idx.shape[0])
+                sym = jnp.where(use_stream != 0, sym_dec, sym_enc)
+                y_known = (
+                    y_known.reshape(b, -1)
+                    .at[:, idx].set(sym.astype(jnp.float32) + mu_f)
+                    .reshape(b, yh, yw, c)
+                )
+                syms_out.append(sym.astype(jnp.int16))
+                rows_out.append(rows_f.astype(jnp.uint8))
+            return (
+                jnp.concatenate(syms_out, axis=1),
+                jnp.concatenate(rows_out, axis=1),
+                y_known,
+                lanes.state,
+                lanes.ptr,
+            )
+
+        self._slices_pass = partial(
+            jax.jit(entro_pass_impl if self.is_entro else slices_pass_impl),
+            params,
+        )
         # weights digest: crc32 of the quantized factorized-prior CDF tables
         # (a pure function of the trained params, already on host)
         self.digest = zlib.crc32(self.z_coder.codec.cdfs.tobytes()) & 0xFFFFFFFF
@@ -361,17 +421,19 @@ class ChannelCoder:
         else:
             syntax = np.zeros((0,), np.int16)
 
-        if self.is_entro:
-            scales, means = self._hyper_decode(z_hat)
-            blobs = self._compress_entro(z3, scales, means)
-            return self._pack(h, w, syntax, z_blob, blobs)
-
         blob_y = self._charm_encode_streams(z_hat, z3)[0]
         return self._pack(h, w, syntax, z_blob, [blob_y])
 
     def _charm_step_counts(self, hy: int, wy: int) -> List[int]:
-        """Per-slice symbol counts (decode-order steps of the lane split)."""
+        """Per-step symbol counts in decode order of the lane split: one
+        entry per ChARM slice, or [anchors, non-anchors] for the
+        checkerboard entroformer pass."""
         cfg = self.model.cfg
+        if self.is_entro:
+            from ..layers.entroformer import checkerboard_masks
+
+            n_anchor = int(checkerboard_masks(hy, wy)[0].sum()) * cfg.N
+            return [n_anchor, hy * wy * cfg.N - n_anchor]
         per = cfg.N // cfg.num_slices
         return [hy * wy * per] * cfg.num_slices
 
@@ -425,8 +487,8 @@ class ChannelCoder:
         from concurrent.futures import ThreadPoolExecutor
 
         cfg = self.model.cfg
-        assert not self.is_ns and not self.is_entro, (
-            "batched path covers the charm slice models"
+        assert not self.is_ns, (
+            "batched path covers the charm-slice and entroformer models"
         )
         b, h, w, _ = xs.shape
         xs, _ = pad_to_multiple(xs, 64)
@@ -812,90 +874,13 @@ class ChannelCoder:
         rec = self._synthesize(content, syn)
         return rec[:, :orig_h, :orig_w, :]
 
-    # --------------------------------------- entroformer (2-pass) coding
-
-    def _anchor_mask(self, yh, yw, c):
-        from ..layers.entroformer import checkerboard_masks
-
-        anchor, _ = checkerboard_masks(yh, yw)
-        return np.broadcast_to(anchor[None, :, :, None], (1, yh, yw, c))
-
-    def _compress_entro(self, z3, scales, means) -> List[bytes]:
-        _, yh, yw, c = z3.shape
-        mask = self._anchor_mask(yh, yw, c)
-
-        mu1, s1 = self._entro(jnp.zeros_like(z3), scales, means)
-        sym1 = np.asarray(jnp.round(z3 - mu1)).astype(np.int32)
-        blob1 = self.y_coder.encode_symbols(
-            sym1[mask], np.asarray(s1)[mask]
-        )
-        y_hat1 = jnp.asarray(
-            (sym1.astype(np.float32) + np.asarray(mu1)) * mask
-        )
-
-        mu2, s2 = self._entro(y_hat1, scales, means)
-        sym2 = np.asarray(jnp.round(z3 - mu2)).astype(np.int32)
-        blob2 = self.y_coder.encode_symbols(
-            sym2[~mask], np.asarray(s2)[~mask]
-        )
-        return [blob1, blob2]
-
-    def _decompress_entro(self, data, off, z_hat, syntax, h, w):
-        scales, means = self._hyper_decode(z_hat)
-        c = self.model.cfg.N
-        yh, yw = h // 16, w // 16
-        mask = self._anchor_mask(yh, yw, c)
-
-        (b1,) = struct.unpack_from("<I", data, off)
-        off += 4
-        blob1 = data[off : off + b1]
-        off += b1
-        (b2,) = struct.unpack_from("<I", data, off)
-        off += 4
-        blob2 = data[off : off + b2]
-
-        mu1, s1 = self._entro(
-            jnp.zeros((1, yh, yw, c), jnp.float32), scales, means
-        )
-        sym1 = self.y_coder.codec.decode(
-            blob1, self.y_coder.scale_indexes(np.asarray(s1)[mask])
-        )
-        y1 = np.zeros((1, yh, yw, c), np.float32)
-        y1[mask] = sym1.astype(np.float32) + np.asarray(mu1)[mask]
-        y_hat1 = jnp.asarray(y1)
-
-        mu2, s2 = self._entro(y_hat1, scales, means)
-        sym2 = self.y_coder.codec.decode(
-            blob2, self.y_coder.scale_indexes(np.asarray(s2)[~mask])
-        )
-        y_full = np.asarray(y1)
-        y_full[~mask] = sym2.astype(np.float32) + np.asarray(mu2)[~mask]
-
-        syn = (
-            jnp.asarray(syntax).reshape(1, 1, 1, -1) if syntax.size else None
-        )
-        return self._synthesize(jnp.asarray(y_full), syn)
-
     # ------------------------------------------------------------- decode
 
     def decompress(self, data: bytes) -> jax.Array:
         off, orig_h, orig_w, syn16 = self._parse_header(data)
-        h, w = padded_size(orig_h, orig_w, 64)
         if self.is_ns:
+            h, w = padded_size(orig_h, orig_w, 64)
             # NS codes its syntax vector; the header field is empty
             return self._decompress_ns(data, off, orig_h, orig_w, h, w)
-        if not self.is_entro:
-            # charm slice chain: the batched path IS the single-image path
-            return self.decompress_batch([data])
-        syntax = syn16.astype(np.float32)
-        (z_len,) = struct.unpack_from("<I", data, off)
-        off += 4
-        z_blob = data[off : off + z_len]
-        off += z_len
-
-        zh, zw = h // 64, w // 64  # z is at /64 of the input
-        z_shape = (1, zh, zw, self.z_coder.medians.shape[0])
-        z_sym = self.z_coder.decode_symbols(z_blob, z_shape)
-        z_hat = self._z_dec(jnp.asarray(z_sym.astype(np.int16)))
-        rec = self._decompress_entro(data, off, z_hat, syntax, h, w)
-        return rec[:, :orig_h, :orig_w, :]
+        # charm / entroformer: the batched path IS the single-image path
+        return self.decompress_batch([data])

@@ -201,10 +201,10 @@ class CodecService:
 
     def _process(self, batch: List[_Req]) -> None:
         kind = batch[0].kind
-        # the batched device pipeline covers the charm slice models; the
-        # AR families (neural_syntax wavefront, entroformer checkerboard)
-        # run per image through their own device-scan paths
-        batched = not (self.coder.is_ns or getattr(self.coder, "is_entro", False))
+        # the batched device pipeline covers the charm-slice and
+        # entroformer models; the NS wavefront runs per image through
+        # its own device scan
+        batched = not self.coder.is_ns
         try:
             if kind == "c":
                 if batched:

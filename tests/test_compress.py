@@ -337,3 +337,29 @@ class TestEntroformerCompress:
         np.testing.assert_allclose(
             np.asarray(rec), np.asarray(out.x_tilde), atol=1e-4
         )
+
+    def test_batched_matches_single_and_rejects_truncation(self):
+        """The checkerboard pass rides the same single-dispatch contract as
+        the charm slice chain: batched bytes == per-image bytes, and the
+        interleaved rANS final-state check catches truncation."""
+        import pytest
+
+        from lic_tpu.models import get_config
+
+        cfg = get_config("entroformer_cb")
+        model = CodecModel(cfg)
+        rng = np.random.default_rng(8)
+        xs = jnp.asarray(rng.uniform(-1, 1, (2, 128, 128, 3)).astype(np.float32))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            xs[:1], training=True,
+        )
+        coder = ChannelCoder(model, v["params"])
+        blobs = coder.compress_batch(xs)
+        assert blobs[0] == coder.compress(xs[:1])
+        recs = coder.decompress_batch(blobs)
+        np.testing.assert_array_equal(
+            np.asarray(recs[:1]), np.asarray(coder.decompress(blobs[0]))
+        )
+        with pytest.raises(ValueError, match="corrupt or truncated"):
+            coder.decompress(blobs[0][: len(blobs[0]) - 40])
