@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--high", action="store_true")
     p.add_argument("--batch", type=int, default=8,
                    help="max images per device batch in directory mode")
+    p.add_argument("--rate", type=float, default=None,
+                   help="gain-unit rate index (variable-rate presets; "
+                        "continuous, e.g. 1.5 interpolates units 1 and 2)")
     return p
 
 
@@ -49,7 +52,7 @@ def main(argv=None) -> None:
         sample, training=True,
     )
     params = load_params(args.weight_path, variables["params"])
-    coder = ChannelCoder(model, params, name=args.preset)
+    coder = ChannelCoder(model, params, name=args.preset, rate=args.rate)
 
     import os
 

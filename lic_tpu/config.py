@@ -82,6 +82,18 @@ class CodecConfig:
     # post-processing (HAN head + second generated conv + add_mean)
     post_processing: bool = False
 
+    # variable-rate gain units (beyond reference, charm family): K learned
+    # per-channel gain/inverse-gain vector pairs scale the latent before
+    # quantization and after dequantization (Cui et al., "Asymmetric
+    # Gained Deep Image Compression").  One checkpoint then serves K
+    # discrete rates, with continuous rates by exponential interpolation
+    # of adjacent pairs (linear in the log-gain parameterization).
+    # 0 = off (every reference-parity preset).
+    gain_units: int = 0
+    # init span: unit K-1 starts at `gain_span`x the amplitude of unit 0,
+    # log-spaced — so the rate ordering is monotone from step 0
+    gain_span: float = 4.0
+
     # bpp accounting: True counts hyper (z) bits — the *intended* semantics;
     # False reproduces the reference ChARM train bpp that counts only y
     # (defect register §8.7).
@@ -131,6 +143,10 @@ class TrainConfig:
     # corpora — the flagship's train/held-out gap grows with step
     # extensions while source_net's does not.
     weight_decay: float = 0.0
+    # multi-rate training for gain-unit models: one λ per gain unit; each
+    # step samples a unit k uniformly and trains with (rate=k, λ_k).
+    # Empty = single-rate (every reference-parity run).
+    lmbda_list: Tuple[float, ...] = ()
 
 
 @dataclass(frozen=True)

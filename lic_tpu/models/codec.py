@@ -220,10 +220,51 @@ class CodecModel(nn.Module):
             self.han = HANHead(is_high=cfg.is_high)
             self.conv_weights_gen_han = ConvGenerator(M, 64)
 
+        # ---- variable-rate gain units (beyond reference) ----
+        # K learned per-channel (gain, inverse-gain) pairs scale the latent
+        # before quantization / after dequantization; parameters live in
+        # log space so continuous rates are LINEAR interpolation here ==
+        # exponential interpolation of the gains (Cui et al.).  Init is a
+        # log-spaced amplitude ramp (unit K-1 = gain_span x unit 0), so
+        # bpp is monotone in the rate index from step 0.
+        if cfg.gain_units:
+            if cfg.family != "charm" or cfg.context == "entroformer":
+                raise ValueError(
+                    "gain_units currently supports the charm slice family"
+                )
+            K = cfg.gain_units
+            span = float(np.log(cfg.gain_span))
+            ramp = np.broadcast_to(
+                np.linspace(-span / 2, span / 2, K, dtype=np.float32)[:, None],
+                (K, cfg.N),
+            ).copy()
+            self.log_gain = self.param(
+                "log_gain", lambda _k: jnp.asarray(ramp)
+            )
+            self.log_inv_gain = self.param(
+                "log_inv_gain", lambda _k: jnp.asarray(-ramp)
+            )
+
     # ------------------------------------------------------------------
 
     def _noise_key(self):
         return self.make_rng("noise")
+
+    def _gain_vectors(self, rate) -> Tuple[jax.Array, jax.Array]:
+        """(gain, inverse_gain), each (N,), for a continuous rate index in
+        [0, K−1].  Linear interpolation of the log-gain rows == exponential
+        interpolation of the gains; integer rates hit the learned rows
+        exactly."""
+        K = self.cfg.gain_units
+        r = jnp.clip(jnp.asarray(rate, jnp.float32), 0.0, float(K - 1))
+        lo = jnp.clip(jnp.floor(r).astype(jnp.int32), 0, K - 1)
+        hi = jnp.minimum(lo + 1, K - 1)
+        a = r - lo.astype(jnp.float32)
+        g = jnp.exp((1 - a) * self.log_gain[lo] + a * self.log_gain[hi])
+        ig = jnp.exp(
+            (1 - a) * self.log_inv_gain[lo] + a * self.log_inv_gain[hi]
+        )
+        return g, ig
 
     def _decode_tail(self, x_tilde, syntax_rounded, use_post_processing=True):
         """g_s output → RGB via the per-image generated conv (+ optional
@@ -256,10 +297,13 @@ class CodecModel(nn.Module):
         x: jax.Array,
         training: bool = True,
         use_post_processing: bool = True,
+        rate=None,
     ) -> CodecOutput:
+        """``rate``: continuous gain-unit index in [0, K−1]; only meaningful
+        when ``cfg.gain_units`` > 0 (None → index 0)."""
         if self.cfg.family == "neural_syntax":
             return self._forward_neural_syntax(x, training, use_post_processing)
-        return self._forward_charm(x, training, use_post_processing)
+        return self._forward_charm(x, training, use_post_processing, rate)
 
     # ---------------------------------------------- neural syntax family
 
@@ -368,13 +412,17 @@ class CodecModel(nn.Module):
             means = self.h_mean_s(z_hat)
         return scales, means, z_lik, z_hat
 
-    def _forward_charm(self, x, training, use_post_processing=True):
+    def _forward_charm(self, x, training, use_post_processing=True, rate=None):
         cfg = self.cfg
         N, M = cfg.N, cfg.M
         b, h, w, _ = x.shape
         num_pixels = b * h * w
 
         z3 = self.g_a(x)
+        inv_gain = None
+        if cfg.gain_units:
+            g, inv_gain = self._gain_vectors(0.0 if rate is None else rate)
+            z3 = z3 * g  # everything downstream codes the gained latent
         yh, yw = z3.shape[1], z3.shape[2]
 
         latent_scales, latent_means, z_lik, _ = self._hyper_forward(z3, training)
@@ -430,7 +478,7 @@ class CodecModel(nn.Module):
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
         y_likelihoods = jnp.concatenate(y_liks, axis=-1)
 
-        x_tilde = self.g_s(y_hat)
+        x_tilde = self.g_s(y_hat * inv_gain if inv_gain is not None else y_hat)
         x_tilde = self._decode_tail(x_tilde, syntax_rounded, use_post_processing)
 
         bpp_y = _bpp(y_likelihoods, num_pixels)
@@ -462,9 +510,15 @@ class CodecModel(nn.Module):
     # unquantized latent (Net_unet.py:1014), so neither defines a decodable
     # bitstream as designed; compress.py rejects them.
 
-    def analyze(self, x):
-        """Encoder transform: x → z3."""
-        return self.g_a(x)
+    def analyze(self, x, rate=None):
+        """Encoder transform: x → z3 (gained when the model carries gain
+        units — the coded latent IS the gained latent, so every downstream
+        sub-pass stays rate-agnostic except ``synthesize``)."""
+        z3 = self.g_a(x)
+        if self.cfg.gain_units:
+            g, _ = self._gain_vectors(0.0 if rate is None else rate)
+            z3 = z3 * g
+        return z3
 
     def hyper_encode(self, z3):
         z = self.h_a(z3)
@@ -509,8 +563,12 @@ class CodecModel(nn.Module):
         lrp_in = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
         return y_hat_slice + 0.5 * jnp.tanh(self.lrp_transforms[i](lrp_in))
 
-    def synthesize(self, y_hat, syntax_rounded):
-        """y_hat (+ syntax vector) → reconstruction."""
+    def synthesize(self, y_hat, syntax_rounded, rate=None):
+        """y_hat (+ syntax vector) → reconstruction.  ``rate`` selects the
+        inverse gain for gain-unit models (decoded latents are gained)."""
+        if self.cfg.gain_units:
+            _, ig = self._gain_vectors(0.0 if rate is None else rate)
+            y_hat = y_hat * ig
         x_tilde = self.g_s(y_hat)
         return self._decode_tail(x_tilde, syntax_rounded)
 

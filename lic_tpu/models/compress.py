@@ -107,9 +107,19 @@ def _dev_scale_idx(sigma: jax.Array, table: jax.Array) -> jax.Array:
 class ChannelCoder:
     """Owns the jitted sub-passes + rANS coders for one (model, params)."""
 
-    def __init__(self, model: CodecModel, params: Any, name: str = ""):
+    def __init__(
+        self, model: CodecModel, params: Any, name: str = "",
+        rate: Optional[float] = None,
+    ):
         cfg = model.cfg
         self.model = model
+        # gain-unit models: ``rate`` selects the (gain, inverse-gain) pair
+        # (continuous index, see CodecModel._gain_vectors); the coded latent
+        # is the gained latent, so only analyze/synthesize see the rate —
+        # it rides the bitstream header so any decoder picks the right
+        # inverse gain.
+        self.has_gain = cfg.gain_units > 0
+        self.rate = float(rate) if rate is not None else 0.0
         # Pin params on device: checkpoint loaders return numpy leaves, and
         # passing those to the jitted sub-passes re-uploads the full tree
         # (~80 MB) on EVERY call — measured as the dominant codec cost.
@@ -407,7 +417,7 @@ class ChannelCoder:
         if self.is_ns:
             return self._compress_ns(x, h, w)
 
-        z3 = self._analyze(x)
+        z3 = self._analyze(x, jnp.float32(self.rate))
         # symbols are rounded ON DEVICE so they match the jitted forward's
         # ste_round bit-for-bit (host numpy fp32 can round differently at
         # .5 boundaries); the decoder reconstructs z_hat/y_hat from the same
@@ -466,6 +476,10 @@ class ChannelCoder:
         out += struct.pack("<HH", h, w)
         out += struct.pack("<H", syntax.size)
         out += syntax.tobytes()
+        if self.has_gain:
+            # gain-unit models carry the continuous rate index so any
+            # decoder applies the matching inverse gain
+            out += struct.pack("<f", self.rate)
         out += struct.pack("<I", len(z_blob))
         out += z_blob
         for blob in blobs:
@@ -493,7 +507,7 @@ class ChannelCoder:
         b, h, w, _ = xs.shape
         xs, _ = pad_to_multiple(xs, 64)
 
-        z3 = self._analyze(xs)
+        z3 = self._analyze(xs, jnp.float32(self.rate))
         z_sym16, z_hat = self._z_enc(z3)
         if cfg.syntax != "none":
             syntax_dev = self._syntax(z3)
@@ -551,9 +565,12 @@ class ChannelCoder:
         h, w = padded_size(orig_h, orig_w, 64)
 
         z_shape = (1, h // 64, w // 64, self.z_coder.medians.shape[0])
-        z_syms, syns, payloads = [], [], []
+        z_syms, syns, payloads, rates = [], [], [], []
         for data, hd in zip(blobs, heads):
             off = hd[0]
+            if self.has_gain:
+                rates.append(struct.unpack_from("<f", data, off)[0])
+                off += 4
             (z_len,) = struct.unpack_from("<I", data, off)
             off += 4
             z_syms.append(
@@ -604,7 +621,13 @@ class ChannelCoder:
             if m_len
             else None
         )
-        rec = self._synthesize(y_full, syn)
+        if self.has_gain:
+            assert all(r == rates[0] for r in rates), (
+                "decompress_batch needs same-rate bitstreams"
+            )
+            rec = self._synthesize(y_full, syn, jnp.float32(rates[0]))
+        else:
+            rec = self._synthesize(y_full, syn)
         return rec[:, :orig_h, :orig_w, :]
 
     def _parse_header(self, data: bytes):

@@ -134,6 +134,18 @@ PRESETS: Dict[str, CodecConfig] = {
         context="entroformer",
         syntax="basic",
     ),
+    # beyond reference — variable-rate source_net: 4 learned gain-unit
+    # pairs span the reference's λ family {0.0025, 0.0067, 0.013, 0.05}
+    # from ONE checkpoint, with continuous rates by exponential gain
+    # interpolation (train with TrainConfig.lmbda_list).
+    "source_net_vr": CodecConfig(
+        family="charm",
+        transform="plain",
+        hyper="classic_dual",
+        swatten=False,
+        syntax="basic",
+        gain_units=4,
+    ),
 }
 
 

@@ -135,17 +135,28 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     post_processing_phase: bool = False,
 ) -> Callable:
-    """Returns jit-able ``train_step(state, batch) -> (state, metrics)``."""
+    """Returns jit-able ``train_step(state, batch) -> (state, metrics)``.
 
-    def loss_fn(params, batch, key):
+    Gain-unit models with ``train_cfg.lmbda_list`` train multi-rate: each
+    step samples a unit k uniformly and optimizes λ_k·255²·D + R at
+    rate=k — one checkpoint, K operating points."""
+    multi_rate = bool(train_cfg.lmbda_list) and model.cfg.gain_units > 0
+    if multi_rate and len(train_cfg.lmbda_list) != model.cfg.gain_units:
+        raise ValueError(
+            f"lmbda_list has {len(train_cfg.lmbda_list)} entries for "
+            f"{model.cfg.gain_units} gain units"
+        )
+
+    def loss_fn(params, batch, key, rate, lmbda):
         out = model.apply(
-            {"params": params}, batch, training=True, rngs={"noise": key}
+            {"params": params}, batch, training=True, rngs={"noise": key},
+            rate=rate,
         )
         msssim_val = None
         if train_cfg.loss_type != "mse":
             msssim_val = ms_ssim(out.x_tilde, batch, data_range=2.0)
         loss = rate_distortion_loss(
-            out.bpp, out.mse, train_cfg.lmbda, train_cfg.loss_type, msssim_val
+            out.bpp, out.mse, lmbda, train_cfg.loss_type, msssim_val
         )
         aux = model.apply({"params": params}, method=CodecModel.entropy_aux_loss)
         total = loss + aux
@@ -157,8 +168,18 @@ def make_train_step(
         }
 
     def train_step(state: TrainState, batch: jax.Array):
-        rng, key = jax.random.split(state.rng)
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params, batch, key)
+        rng, key, key_rate = jax.random.split(state.rng, 3)
+        if multi_rate:
+            k = jax.random.randint(
+                key_rate, (), 0, model.cfg.gain_units
+            )
+            rate = k.astype(jnp.float32)
+            lmbda = jnp.take(jnp.asarray(train_cfg.lmbda_list), k)
+        else:
+            rate, lmbda = None, train_cfg.lmbda
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, key, rate, lmbda
+        )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )

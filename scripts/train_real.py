@@ -165,6 +165,11 @@ def main():
                     help="augmented crop pool size (uint8, device-resident)")
     ap.add_argument("--scan_steps", type=int, default=8,
                     help="optimizer steps fused per device dispatch")
+    ap.add_argument("--lmbda_list", default="",
+                    help="comma-separated λ per gain unit (variable-rate "
+                         "presets, e.g. source_net_vr): each step samples "
+                         "a unit k and trains at (rate=k, λ_k); eval "
+                         "reports every rate point from the one checkpoint")
     ap.add_argument("--ema", type=float, default=0.999,
                     help="Polyak-average decay for an EMA copy of the "
                          "params (0 disables). The high-capacity presets "
@@ -214,6 +219,9 @@ def main():
         ),
         seed=args.seed,
         weight_decay=args.wd,
+        lmbda_list=tuple(
+            float(v) for v in args.lmbda_list.split(",") if v
+        ),
     )
     opt = make_optimizer(
         tc, steps_per_epoch=spe, post_processing_phase=args.phase2
@@ -292,15 +300,18 @@ def main():
     from lic_tpu.training.loss import ms_ssim
 
     @jax.jit
-    def fwd(params, xx):
-        out = model.apply({"params": params}, xx, training=False)
+    def fwd(params, xx, rate=None):
+        out = model.apply({"params": params}, xx, training=False, rate=rate)
         return out.x_tilde, out.bpp
 
-    def eval_image(path, tag, eval_params):
+    def eval_image(path, tag, eval_params, rate=None):
         img = load_image_uint8(path).astype(np.float32) / 127.5 - 1.0
         x = jnp.asarray(img[None])
         xp, (h, w) = pad_to_multiple(x, 64)
-        x_tilde, bpp_est = fwd(eval_params, xp)
+        if rate is None:
+            x_tilde, bpp_est = fwd(eval_params, xp)
+        else:
+            x_tilde, bpp_est = fwd(eval_params, xp, jnp.float32(rate))
         x_tilde = x_tilde[:, :h, :w, :]
         # 0..255-domain PSNR on rounded pixels (reference metric domain)
         rec = np.clip((np.asarray(x_tilde) + 1) * 127.5, 0, 255).round()
@@ -321,7 +332,9 @@ def main():
         try:
             from lic_tpu.models.compress import ChannelCoder
 
-            coder = ChannelCoder(model, eval_params, name=args.preset)
+            coder = ChannelCoder(
+                model, eval_params, name=args.preset, rate=rate
+            )
             blob = coder.compress(x)
             r["bpp_real_bitstream"] = round(len(blob) * 8 / (h * w), 4)
             rec2 = np.asarray(coder.decompress(blob))
@@ -349,6 +362,15 @@ def main():
         result["held_out_ema"] = eval_image(
             EVAL_IMAGE, "grace_hopper (held out, EMA)", ema_params
         )
+    if model.cfg.gain_units:
+        # the variable-rate claim: every operating point from ONE ckpt
+        result["held_out_rates"] = [
+            eval_image(
+                EVAL_IMAGE, f"grace_hopper (held out, rate={k})",
+                state.params, rate=float(k),
+            )
+            for k in range(model.cfg.gain_units)
+        ]
     print(json.dumps(result), flush=True)
     with open(os.path.join(args.out, "eval.json"), "w") as fd:
         json.dump(result, fd, indent=1)
