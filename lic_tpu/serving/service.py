@@ -82,10 +82,15 @@ class CodecService:
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
         max_queue: int = 256,
+        rate: Optional[float] = None,
     ):
         from ..models.compress import ChannelCoder
 
-        self.coder = ChannelCoder(model, params, name=name)
+        # one service serves one operating point; run several services
+        # over the same (model, params) for several rates — the jitted
+        # sub-passes treat the rate as a traced scalar, so they share
+        # one compiled executable
+        self.coder = ChannelCoder(model, params, name=name, rate=rate)
         self.max_batch = int(max_batch)
         self.max_wait_ms = float(max_wait_ms)
         self.max_queue = int(max_queue)

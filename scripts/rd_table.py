@@ -22,6 +22,8 @@ def main():
         variants = [("", h)]
         if "held_out_ema" in r:  # Polyak-averaged params, same run
             variants.append((" (EMA)", r["held_out_ema"]))
+        for k, hh in enumerate(r.get("held_out_rates", [])):
+            variants.append((f" (rate={k})", hh))  # gain-unit operating points
         for tag, hh in variants:
             rows.append({
                 "run": os.path.basename(os.path.dirname(p)) + tag,
