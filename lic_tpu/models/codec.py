@@ -251,19 +251,23 @@ class CodecModel(nn.Module):
         return self.make_rng("noise")
 
     def _gain_vectors(self, rate) -> Tuple[jax.Array, jax.Array]:
-        """(gain, inverse_gain), each (N,), for a continuous rate index in
-        [0, K−1].  Linear interpolation of the log-gain rows == exponential
+        """(gain, inverse_gain) for a continuous rate index in [0, K−1].
+        Linear interpolation of the log-gain rows == exponential
         interpolation of the gains; integer rates hit the learned rows
-        exactly."""
+        exactly.  A scalar rate returns (N,) vectors; a (B,) rate vector
+        returns (B, 1, 1, N) — per-image operating points in one batch."""
         K = self.cfg.gain_units
         r = jnp.clip(jnp.asarray(rate, jnp.float32), 0.0, float(K - 1))
         lo = jnp.clip(jnp.floor(r).astype(jnp.int32), 0, K - 1)
         hi = jnp.minimum(lo + 1, K - 1)
-        a = r - lo.astype(jnp.float32)
+        a = r[..., None] - lo[..., None].astype(jnp.float32)
         g = jnp.exp((1 - a) * self.log_gain[lo] + a * self.log_gain[hi])
         ig = jnp.exp(
             (1 - a) * self.log_inv_gain[lo] + a * self.log_inv_gain[hi]
         )
+        if r.ndim:  # (B,) → broadcast over NHWC
+            g = g[:, None, None, :]
+            ig = ig[:, None, None, :]
         return g, ig
 
     def _decode_tail(self, x_tilde, syntax_rounded, use_post_processing=True):

@@ -466,7 +466,7 @@ class ChannelCoder:
             for i in range(b)
         ]
 
-    def _pack(self, h, w, syntax, z_blob, blobs) -> bytes:
+    def _pack(self, h, w, syntax, z_blob, blobs, rate=None) -> bytes:
         out = bytearray()
         out += MAGIC
         name = self.name.encode("utf-8")[:255]
@@ -479,7 +479,7 @@ class ChannelCoder:
         if self.has_gain:
             # gain-unit models carry the continuous rate index so any
             # decoder applies the matching inverse gain
-            out += struct.pack("<f", self.rate)
+            out += struct.pack("<f", self.rate if rate is None else rate)
         out += struct.pack("<I", len(z_blob))
         out += z_blob
         for blob in blobs:
@@ -489,7 +489,9 @@ class ChannelCoder:
 
     # --------------------------- batched + host-overlapped codec path
 
-    def compress_batch(self, xs: jax.Array) -> List[bytes]:
+    def compress_batch(
+        self, xs: jax.Array, rates: Optional[List[float]] = None
+    ) -> List[bytes]:
         """Compress B same-sized images through ONE batched device pipeline.
 
         Device work (transforms, hyper, slice μ/σ) runs batched — one
@@ -497,6 +499,10 @@ class ChannelCoder:
         are submitted to a worker thread as soon as each slice's symbols
         land, overlapping entropy coding with the remaining device compute
         (SURVEY §7.8 "pipelined host coding").
+
+        ``rates``: per-image gain-unit rate indexes (gain-unit models
+        only); None codes every image at the coder's rate.  Mixed rates
+        share the batch — the gains broadcast per image on device.
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -507,7 +513,12 @@ class ChannelCoder:
         b, h, w, _ = xs.shape
         xs, _ = pad_to_multiple(xs, 64)
 
-        z3 = self._analyze(xs, jnp.float32(self.rate))
+        if rates is not None:
+            assert self.has_gain and len(rates) == b
+            rate_arg = jnp.asarray(rates, jnp.float32)
+        else:
+            rate_arg = jnp.float32(self.rate)
+        z3 = self._analyze(xs, rate_arg)
         z_sym16, z_hat = self._z_enc(z3)
         if cfg.syntax != "none":
             syntax_dev = self._syntax(z3)
@@ -542,7 +553,8 @@ class ChannelCoder:
             ]
             return [
                 self._pack(
-                    h, w, syntax[i], z_jobs[i].result(), [y_jobs[i].result()]
+                    h, w, syntax[i], z_jobs[i].result(), [y_jobs[i].result()],
+                    rate=None if rates is None else float(rates[i]),
                 )
                 for i in range(b)
             ]
@@ -622,10 +634,10 @@ class ChannelCoder:
             else None
         )
         if self.has_gain:
-            assert all(r == rates[0] for r in rates), (
-                "decompress_batch needs same-rate bitstreams"
+            # per-image header rates; mixed rates broadcast on device
+            rec = self._synthesize(
+                y_full, syn, jnp.asarray(rates, jnp.float32)
             )
-            rec = self._synthesize(y_full, syn, jnp.float32(rates[0]))
         else:
             rec = self._synthesize(y_full, syn)
         return rec[:, :orig_h, :orig_w, :]

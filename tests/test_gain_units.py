@@ -85,6 +85,26 @@ class TestGainUnits:
             )
         assert sizes[1] > sizes[0]  # higher rate -> more bytes
 
+    def test_mixed_rate_batch(self, model_and_params):
+        """One batch can mix operating points: per-image gains broadcast
+        on device, per-image rates ride the headers, and batched bytes
+        equal the per-image single-rate coders' bytes."""
+        model, params = model_and_params
+        xs = _x(5, n=2)
+        coder = ChannelCoder(model, params)
+        blobs = coder.compress_batch(xs, rates=[0.0, 3.0])
+        c0 = ChannelCoder(model, params, rate=0.0)
+        c3 = ChannelCoder(model, params, rate=3.0)
+        assert blobs[0] == c0.compress(xs[:1])
+        assert blobs[1] == c3.compress(xs[1:2])
+        recs = np.asarray(coder.decompress_batch(blobs))
+        np.testing.assert_array_equal(
+            recs[0], np.asarray(c0.decompress(blobs[0]))[0]
+        )
+        np.testing.assert_array_equal(
+            recs[1], np.asarray(c3.decompress(blobs[1]))[0]
+        )
+
     def test_multi_rate_train_step(self, model_and_params):
         from lic_tpu.training.train import (
             create_state, make_optimizer, make_train_step,
