@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--write_bitstreams", default="",
                    help="directory to write real rANS bitstreams (decodable "
                         "presets only)")
+    p.add_argument("--rate", type=float, default=None,
+                   help="gain-unit rate index for variable-rate presets "
+                        "(continuous; None = unit 0)")
     return p
 
 
@@ -52,7 +55,8 @@ def main(argv=None) -> None:
     )
     params = load_params(args.weight_path, variables["params"])
 
-    ec = EvalConfig(lmbda=args.lmbda, tune_iters=args.tune_iter)
+    ec = EvalConfig(lmbda=args.lmbda, tune_iters=args.tune_iter,
+                    rate=args.rate)
     evaluate_folder(
         model, params, args.data_path, ec, pre_processing=args.pre_processing
     )
@@ -64,7 +68,7 @@ def main(argv=None) -> None:
         from ..models.compress import ChannelCoder
 
         os.makedirs(args.write_bitstreams, exist_ok=True)
-        coder = ChannelCoder(model, params, name=args.preset)
+        coder = ChannelCoder(model, params, name=args.preset, rate=args.rate)
         for f in list_images(args.data_path):
             img = load_image_uint8(f).astype(np.float32) / 127.5 - 1.0
             blob = coder.compress(jnp.asarray(img[None]))

@@ -160,3 +160,6 @@ class EvalConfig:
     tune_lr: float = 1e-5
     tune_lr_drop_step: int = 50
     tune_lr_gamma: float = 0.5
+    # gain-unit operating point for variable-rate checkpoints (continuous
+    # rate index; None = the model default, unit 0)
+    rate: Optional[float] = None

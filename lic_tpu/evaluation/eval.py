@@ -40,6 +40,12 @@ def _eval_forward(model: CodecModel, params, x):
     return out
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _eval_forward_rate(model: CodecModel, params, x, rate):
+    out = model.apply({"params": params}, x, training=False, rate=rate)
+    return out
+
+
 def evaluate_image(
     model: CodecModel,
     params: Any,
@@ -51,7 +57,12 @@ def evaluate_image(
     _, h, w, _ = x_pm1.shape
     padded, orig = pad_to_multiple(x_pm1, eval_cfg.pad_multiple, mode="replicate")
     t0 = time.time()
-    out = _eval_forward(model, params, padded)
+    if eval_cfg.rate is None:
+        out = _eval_forward(model, params, padded)
+    else:  # variable-rate checkpoint at a chosen operating point
+        out = _eval_forward_rate(
+            model, params, padded, jnp.float32(eval_cfg.rate)
+        )
     x_tilde = jax.block_until_ready(out.x_tilde)
     dt = time.time() - t0
 
@@ -114,6 +125,7 @@ def content_adaptive_finetune(
         out = model.apply(
             {"params": p}, padded, training=True,
             use_post_processing=False, rngs={"noise": key},
+            rate=None if eval_cfg.rate is None else jnp.float32(eval_cfg.rate),
         )
         return eval_cfg.lmbda * out.mse + out.bpp
 

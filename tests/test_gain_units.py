@@ -127,6 +127,16 @@ class TestGainUnits:
             g0, np.asarray(state.params["log_gain"])
         ), "gain vectors did not train"
 
+    def test_eval_harness_rate(self, model_and_params):
+        from lic_tpu.config import EvalConfig
+        from lic_tpu.evaluation.eval import evaluate_image
+
+        model, params = model_and_params
+        x = _x(7)
+        r0 = evaluate_image(model, params, x, EvalConfig(rate=0.0))
+        r3 = evaluate_image(model, params, x, EvalConfig(rate=3.0))
+        assert r3["bpp"] > r0["bpp"]
+
     def test_rejected_outside_charm(self):
         bad = CodecConfig(
             family="charm", context="entroformer", gain_units=2,
