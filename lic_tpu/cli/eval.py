@@ -48,6 +48,11 @@ def main(argv=None) -> None:
     model = build_model(
         args.preset, is_high=args.high, post_processing=args.post_processing
     )
+    if args.rate is not None and model.cfg.gain_units == 0:
+        raise SystemExit(
+            f"--rate given but preset '{args.preset}' has no gain units — "
+            "it would be silently ignored (use a variable-rate preset)"
+        )
     sample = jnp.zeros((1, 256, 256, 3), jnp.float32)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},

@@ -14,9 +14,10 @@ Two tricks keep the tiny per-head matmuls MXU-shaped without 3D relayouts:
   ``L[i, h·n+m] = Σ_c q[i,c]·k[m,c]·[head(c)=h]`` = ``q @ K'`` where
   ``K'[c, h·n+m] = kᵀ[c, m]·headmask`` is built by a lane-tile + static
   0/1 mask (pure VPU).  The AV product uses the mirrored ``V'``.
-* **Segment softmax by matmul** — per-(row, head) max/sum over the flat
-  (n, nh·n) logits use a global row max (valid per segment since softmax is
-  shift-invariant) and 0/1 segment-sum matrices, so no (n, nh, n) reshape.
+* **Segment softmax by matmul** — per-(row, head) softmax over the flat
+  (n, nh·n) logits uses per-head maxes (static slices + broadcast concat;
+  a single global row max would underflow a low-logit head's whole exp
+  segment) and 0/1 segment-sum matrices, so no (n, nh, n) reshape.
 
 The relative-position bias is passed pre-flattened (n, nh·n) fp32; the
 SW-MSA/pad mask (static numpy, see win_attention.swin_shift_mask) is passed
@@ -107,9 +108,24 @@ def _wba_kernel(
         if has_mask:
             logits = logits + mask_ref[0, j].astype(jnp.float32)
 
-        # segment softmax over each n-wide head segment (global row max is a
-        # valid shift; segment sums via 0/1 matmul)
-        rowmax = jnp.max(logits, axis=-1, keepdims=True)
+        # segment softmax over each n-wide head segment.  The shift must be
+        # PER-HEAD: a global row max is algebraically valid but a head
+        # whose logits sit ~90 below another head's would underflow its
+        # whole exp segment to 0 and divide by zero (rel-pos biases are
+        # unbounded under training).  nh static slices + broadcast concat
+        # stay VPU-shaped; segment sums via 0/1 matmul as before.
+        rowmax = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.max(
+                        logits[:, h * n : (h + 1) * n], axis=-1, keepdims=True
+                    ),
+                    (n, n),
+                )
+                for h in range(nh)
+            ],
+            axis=-1,
+        )
         ex = jnp.exp(logits - rowmax)  # (n, nh·n)
         denom = jnp.dot(ex, seg_sum, preferred_element_type=jnp.float32)
         inv = jnp.dot(1.0 / denom, seg_bcast, preferred_element_type=jnp.float32)
@@ -282,6 +298,12 @@ def _make_wba_op(ws: int, nh: int, mask_key, interpret: bool):
 
 
 _MASK_STORE: dict = {}
+# Each head-broadcast mask is large (~25 MB at 128x192/ws8/nh8, more at
+# eval resolutions); cap the store FIFO so a long-lived process sweeping
+# many image sizes doesn't grow host RSS without bound.  Eviction is safe:
+# already-built ops closed over their numpy mask at creation, and a
+# post-lru rebuild re-registers the key before _make_wba_op runs.
+_MASK_STORE_MAX = 64
 
 
 def flatten_mask(mask_np: np.ndarray, nwh: int, nww: int, nh: int) -> np.ndarray:
@@ -305,7 +327,10 @@ def wba_fused_apply(
     """Entry point used by WindowAttention: registers the static mask under
     ``mask_key`` (a hashable shape-config token) and applies the fused op."""
     if mask_np is not None:
+        _MASK_STORE.pop(mask_key, None)  # refresh FIFO position
         _MASK_STORE[mask_key] = mask_np
+        while len(_MASK_STORE) > _MASK_STORE_MAX:
+            _MASK_STORE.pop(next(iter(_MASK_STORE)))
         key = mask_key
     else:
         key = None

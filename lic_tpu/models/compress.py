@@ -5,14 +5,16 @@ anywhere; bpp is likelihood-estimated).  This module supplies the missing
 capability for the decodable hyper paths ('classic_dual', 'elic'):
 
 encode (ONE device pass + host rANS):
-  x → g_a → z3; z → rANS (factorized CDFs); hyper-decode z_hat →
-  per-slice (μ, σ) with the evolved y_hat supports → 4 slice blobs
-  (conditional-Gaussian rANS over the scale table).
+  x → g_a → z3; z → rANS (factorized CDFs); the shared ``slices_pass``
+  executable (encode mode) computes every slice's symbols + CDF rows in
+  one dispatch; host rANS writes one interleaved lane-parallel stream.
 
-decode (sequential slice ping-pong, device ↔ host):
-  z blob → z_hat → (scales, means); for each slice: device computes
-  (μ, σ) from decoded slices, host rANS-decodes the residuals, device
-  applies LRP; finally g_s + syntax conv → image.
+decode (ONE device pass):
+  z blob → z_hat; ``slices_pass`` (decode mode) runs the whole slice
+  chain — per-slice (μ, σ) from decoded slices, in-pass device rANS,
+  LRP — in one dispatch; finally g_s + syntax conv → image.  The
+  entroformer checkerboard and neural-syntax wavefront families ride the
+  same single-dispatch contract (``entro_pass_impl`` / ``_ns_scan``).
 
 The U-Net hyper ('unet') and latent U-Net ('latent_unet') models are NOT
 decodable as designed — their entropy parameters consume encoder-side
@@ -24,14 +26,14 @@ sequential decode its spatial context implies; SURVEY §7.8):
   the 4×4 causal context window of ``PredictionModel_Context`` reads rows
   p−3..p−1 (cols q−2..q+1) plus (p, q−2), (p, q−1), so every position on
   the anti-diagonal t = 2p + q depends only on strictly-earlier wavefronts.
-  Decode runs T = 2(H−1)+W wavefronts; each step gathers the ≤P_max
-  context patches on host, runs the per-position (μ, σ) head on device
-  (one statically-shaped jitted call reused every step) and rANS-decodes
-  that wavefront's symbols from ONE continuous stream (streaming decoder —
-  no per-wavefront flush overhead).  The encoder drives the *identical*
-  schedule/shapes so μ/σ match the decoder bit-for-bit.  z2 ints ride the
-  learned per-channel N(0, σ_z2); the syntax vector rides
-  ``PredictionModel_Syntax``'s (μ, σ) — both decodable from coded data.
+  Decode runs all T = 2(H−1)+W wavefronts as ONE ``lax.scan`` dispatch —
+  device-side patch gather (``block_sample`` geometry, verified against
+  the training path by test) → prediction head → in-scan interleaved
+  device rANS → scatter — with no host round trips.  The encoder drives
+  the same scan in encode mode so μ/σ match the decoder bit-for-bit.
+  z2 ints ride the learned per-channel N(0, σ_z2); the syntax vector
+  rides ``PredictionModel_Syntax``'s (μ, σ) — both decodable from coded
+  data.
 
 Bitstream layout (little-endian):
   magic 'LTC2' | u8 name-len | name (utf-8) | u32 model digest (crc32 of
@@ -58,6 +60,18 @@ from .codec import CodecModel
 
 MAGIC = b"LTC2"
 Z_RANGE = 128  # factorized-prior symbol support: [-128, 127] rel. medians
+
+# Decode payload buffers are padded up to a multiple of this many uint16
+# words before entering the jitted pass: raw content-dependent widths
+# would recompile the decode executable for nearly every new bitstream
+# length (multi-minute on a small host, unbounded jit-cache growth in a
+# long-lived CodecService).  16384 words = 32 KiB per step, a handful of
+# buckets across realistic stream sizes.  Note encode (a fixed dummy
+# payload) and decode (a bucketed width) therefore compile as separate
+# executables of the same traced program; any σ/CDF-row divergence XLA
+# could introduce between them is caught loudly by the decoder's
+# final-state integrity check rather than producing silent corruption.
+_PAYLOAD_BUCKET = 16384
 
 _DECODABLE = ("classic_dual", "elic", "unet_dec")
 
@@ -119,6 +133,13 @@ class ChannelCoder:
         # it rides the bitstream header so any decoder picks the right
         # inverse gain.
         self.has_gain = cfg.gain_units > 0
+        if rate is not None and not self.has_gain:
+            raise ValueError(
+                "rate= was given but this model has no gain units "
+                "(cfg.gain_units == 0) — it would be silently ignored; "
+                "use a variable-rate preset (e.g. source_net_vr) or drop "
+                "the rate"
+            )
         self.rate = float(rate) if rate is not None else 0.0
         # Pin params on device: checkpoint loaders return numpy leaves, and
         # passing those to the jitted sub-passes re-uploads the full tree
@@ -145,7 +166,6 @@ class ChannelCoder:
             params,
         )
         self._analyze = ap(CodecModel.analyze)
-        self._hyper_decode = ap(CodecModel.hyper_decode)
         self._syntax = ap(CodecModel.syntax_from_latent)
         self._synthesize = ap(CodecModel.synthesize)
         self.is_entro = model.cfg.context == "entroformer"
@@ -191,9 +211,12 @@ class ChannelCoder:
         # either consumes this slice's symbols from the lane-parallel
         # rans16 streams with the on-device decoder (decode mode) or takes
         # them from the known latents (encode mode).  The mode is a TRACED
-        # flag, so encoder and decoder execute the *identical* compiled
-        # program — σ (hence every CDF row) agrees bit-for-bit by
-        # construction, and the decode's former 2-round-trips-per-slice
+        # flag, so encoder and decoder trace the *same program text* —
+        # the payload width differs (fixed dummy at encode, bucketed at
+        # decode, see _PAYLOAD_BUCKET), so they compile as two
+        # executables; any σ/CDF-row divergence XLA could introduce
+        # between them is caught loudly by the decoder's final-state
+        # integrity check.  The decode's former 2-round-trips-per-slice
         # ping-pong (round 2: ~12 RTTs/batch) collapses to ONE dispatch.
         from ..coding.device_rans import (
             DeviceRans16Interleaved,
@@ -387,12 +410,12 @@ class ChannelCoder:
         # plane, runs the prediction head, and then either (decode mode)
         # consumes this wavefront's symbols from the lane-parallel rans16
         # streams with the vectorized on-device decoder, or (encode mode)
-        # scatters the known integer latents.  The mode is a TRACED flag,
-        # so both directions execute the *identical* compiled program —
-        # μ/σ (and hence every rANS row index) agree bit-for-bit between
-        # encoder and decoder by construction, immune to cross-executable
-        # XLA fusion differences.  Decode therefore needs NO host round
-        # trips at all (the round-2 host-rANS loop paid T≈2H'+W' of them).
+        # scatters the known integer latents.  The mode is a TRACED
+        # flag, so both directions trace the same program text (payload
+        # widths differ — see _PAYLOAD_BUCKET — so they compile
+        # separately; the final-state integrity check catches any
+        # cross-executable μ/σ divergence loudly).  Decode needs NO host
+        # round trips at all (the round-2 host-rANS loop paid T≈2H'+W').
         from ..coding.device_rans import Rans16InterleavedCodec
 
         # Interleaved shared-stream format (same rationale as the ChARM
@@ -604,8 +627,12 @@ class ChannelCoder:
         )
 
         # stack per-image payloads (B, wmax); >= L trailing zeros keep the
-        # shared-pointer window slice in bounds at the final position
-        wmax = max(p.size for p in payloads) + self.charm_lanes
+        # shared-pointer window slice in bounds at the final position.
+        # wmax is BUCKETED (next multiple of 16384 words): a raw
+        # content-dependent width would recompile the whole slice-chain
+        # executable for nearly every new bitstream length.
+        wmax = -(-(max(p.size for p in payloads) + self.charm_lanes)
+                 // _PAYLOAD_BUCKET) * _PAYLOAD_BUCKET
         pay_flat = np.zeros((b, wmax), np.int32)
         for i, p in enumerate(payloads):
             pay_flat[i, : p.size] = p
@@ -732,8 +759,11 @@ class ChannelCoder:
                 ypad, lanes = carry
                 r, q, ns_t = xs
                 ii = jnp.arange(4)
-                rr = r[:, None, None] + ii[None, :, None]      # (P, 4, 1)
-                cc = q[:, None, None] + ii[None, None, :] + 1  # (P, 1, 4)
+                # patch[i, j] covers unpadded rows p−3..p, cols q−2..q+1
+                # (block_sample geometry: xp[p+i, q+j+1] on a 3-padded
+                # plane); r, q here are PADDED coords, hence the −3 / −2
+                rr = r[:, None, None] + ii[None, :, None] - 3  # (P, 4, 1)
+                cc = q[:, None, None] + ii[None, None, :] - 2  # (P, 1, 4)
                 ypat = ypad[rr, cc]            # (P, 4, 4, Cy); OOB clamps
                 ypat = ypat.at[:, 3, 2:, :].set(0.0)   # causal mask
                 hpat = hpad[rr, cc]
@@ -885,11 +915,15 @@ class ChannelCoder:
             )
         # decode mode: one device dispatch runs the whole wavefront scan;
         # >= n_lanes trailing zeros keep the shared-pointer window slice
-        # in bounds at the final position
+        # in bounds at the final position.  Width is bucketed so new
+        # stream lengths reuse the compiled scan (see _PAYLOAD_BUCKET).
+        wpad = -(-(payload.size + n_lanes) // _PAYLOAD_BUCKET) * _PAYLOAD_BUCKET
         _, _, plane, lstate, lptr = fn(
             jnp.asarray(np.asarray(h2, np.float32)[0]),
             jnp.asarray(
-                np.pad(payload.astype(np.int32), (0, n_lanes))[None]
+                np.pad(
+                    payload.astype(np.int32), (0, wpad - payload.size)
+                )[None]
             ),
             jnp.zeros((hy, wy, c), jnp.int32),
             jnp.int32(1),

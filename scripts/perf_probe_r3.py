@@ -142,6 +142,9 @@ def main():
         return f(rb_params, x3)
 
     print("== ResidualBottleneck(3) @512x768 b8 (bf16) ==")
+    # tiny-conv defaults ON since dcf7398 — force it OFF for the baseline
+    # row, or both rows silently trace the same lowering
+    set_tiny_conv(False)
     ref_rb = run_rb("xla")
     try:
         set_tiny_conv(True)

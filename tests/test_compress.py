@@ -254,6 +254,59 @@ class TestWavefront:
 
 
 class TestNeuralSyntaxCompress:
+    def test_scan_context_matches_training_path(self):
+        """The wavefront scan's per-position (μ, σ-row) must equal the
+        TRAINING path's prediction: ``block_sample`` (masked y, unmasked
+        hyper) + the same context head on the full rounded plane.  This is
+        the geometry contract — a shifted gather window round-trips fine
+        (encoder and decoder share it) but silently destroys the rate
+        model a trained checkpoint was optimized for."""
+        from lic_tpu.entropy.context import block_sample
+        from lic_tpu.models import CodecModel, build_model
+        from lic_tpu.models.compress import ChannelCoder
+
+        model = build_model("neural_syntax")
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            x, training=True,
+        )
+        coder = ChannelCoder(model, v["params"])
+        cfg = model.cfg
+
+        z3 = coder._analyze(x)
+        z2_int = jnp.round(coder._ns_ha(z3))
+        h2 = coder._ns_hs(z2_int)
+        y_int = np.asarray(jnp.round(z3[..., cfg.M:])).astype(np.int32)[0]
+        hy, wy, c = y_int.shape
+
+        # device scan, encode mode (full plane known)
+        fn, groups, n_lanes, p_max, _ = coder._ns_scan(hy, wy)
+        mu_dev, rows_dev, _, _, _ = fn(
+            jnp.asarray(np.asarray(h2, np.float32)[0]),
+            jnp.zeros((1, 2 * n_lanes), jnp.int32),
+            jnp.asarray(y_int), jnp.int32(0),
+        )
+        mu_dev, rows_dev = np.asarray(mu_dev), np.asarray(rows_dev)
+
+        # training path: block_sample patches + the same head
+        ypat = block_sample(jnp.asarray(y_int, jnp.float32)[None], masked=True)
+        hpat = block_sample(h2, masked=False)
+        mu_ref, sg_ref = model.apply(
+            v, jnp.concatenate([ypat, hpat], axis=-1),
+            method=CodecModel.ns_context_head,
+        )
+        mu_ref = np.asarray(jnp.round(mu_ref)).reshape(hy, wy, c)
+
+        n_match = n_tot = 0
+        for t, (ps, qs) in enumerate(groups):
+            n_match += (mu_dev[t, : len(ps)] == mu_ref[ps, qs]).sum()
+            n_tot += len(ps) * c
+        # identical math in different batch shapes: allow a vanishing
+        # fraction of fp32 round()-boundary flips, nothing systematic
+        assert n_match / n_tot > 0.999, f"{n_match}/{n_tot}"
+
     def test_roundtrip_matches_forward(self):
         """The wavefront-scheduled sequential decode reproduces the jitted
         eval forward exactly (same integer latents → same reconstruction)."""

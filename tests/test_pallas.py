@@ -234,6 +234,34 @@ class TestPallasWindowAttention:
             np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
         )
 
+    def test_per_head_softmax_shift_no_underflow(self):
+        """A head whose logits sit far below another head's must not NaN:
+        the kernel's softmax shift is per-head (a global row max would
+        underflow the low head's whole exp segment to 0/0).  Drive it via
+        an extreme relative-position bias on head 0 only."""
+        from lic_tpu.layers.pallas_attn import (
+            _wba_reference,
+            window_attention_fused,
+        )
+
+        rng = np.random.default_rng(3)
+        b, hp, wp, c, nh, ws = 1, 8, 8, 16, 4, 8
+        n = ws * ws
+        qkv = jnp.asarray(
+            rng.standard_normal((b, hp, wp, 3 * c)).astype(np.float32)
+        )
+        rel = np.zeros((n, nh * n), np.float32)
+        rel[:, :n] = 200.0  # head 0 dominates by ~200 nats
+        rel = jnp.asarray(rel)
+        got = window_attention_fused(
+            qkv, rel, None, ws=ws, nh=nh, interpret=True
+        )
+        assert np.isfinite(np.asarray(got)).all()
+        ref = _wba_reference(qkv, rel, None, ws=ws, nh=nh)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
     def test_grad_matches_xla_path(self):
         from lic_tpu.layers.win_attention import (
             WinBasedAttention,
