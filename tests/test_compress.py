@@ -391,6 +391,25 @@ class TestEntroformerCompress:
             np.asarray(rec), np.asarray(out.x_tilde), atol=1e-4
         )
 
+    def test_real_bpp_close_to_estimate(self):
+        """Coded bits must track the forward's likelihood estimate — the
+        invariant that catches a decode-consistent-but-wrong context (the
+        stream would still roundtrip; only the rate model would suffer)."""
+        from lic_tpu.models import get_config
+
+        cfg = get_config("entroformer_cb")
+        model = CodecModel(cfg)
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            x, training=True,
+        )
+        coder = ChannelCoder(model, v["params"])
+        real_bpp = len(coder.compress(x)) * 8 / (128 * 128)
+        est_bpp = float(model.apply(v, x, training=False).bpp)
+        assert real_bpp < est_bpp * 1.2 + 0.3, (real_bpp, est_bpp)
+
     def test_batched_matches_single_and_rejects_truncation(self):
         """The checkerboard pass rides the same single-dispatch contract as
         the charm slice chain: batched bytes == per-image bytes, and the
