@@ -165,6 +165,10 @@ def main():
                     help="augmented crop pool size (uint8, device-resident)")
     ap.add_argument("--scan_steps", type=int, default=8,
                     help="optimizer steps fused per device dispatch")
+    ap.add_argument("--loss", default="mse", choices=("mse", "msssim"),
+                    help="R-D objective (train_net_unet.py:83-85; msssim "
+                         "uses lambda*(1-msssim)+bpp — reference lambda "
+                         "scale differs from the mse objective)")
     ap.add_argument("--lmbda_list", default="",
                     help="comma-separated λ per gain unit (variable-rate "
                          "presets, e.g. source_net_vr): each step samples "
@@ -218,6 +222,7 @@ def main():
             int(args.steps * f / spe) for f in (0.8, 0.9)
         ),
         seed=args.seed,
+        loss_type=args.loss,
         weight_decay=args.wd,
         lmbda_list=tuple(
             float(v) for v in args.lmbda_list.split(",") if v
