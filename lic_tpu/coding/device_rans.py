@@ -253,7 +253,13 @@ class DeviceRans16:
                 active = esc & (i < cnt)
                 d, state, ptr = self._get_bits4(state, ptr, payload, active)
                 u = jnp.where(active, (u << 4) | d, u)
-            delta = (u >> 1) ^ -(u & 1)  # unzigzag
+            # unzigzag in uint32: int32 `u >> 1` sign-extends once the
+            # zigzag value reaches 2^31 (|delta| >= 2^30), silently
+            # diverging from the C++ mirror's logical shift
+            uu = u.astype(jnp.uint32)
+            delta = ((uu >> 1) ^ (-(uu & 1)).astype(jnp.uint32)).astype(
+                jnp.int32
+            )
             esc_val = jnp.where(delta < 0, 0, self.nsyms - 1) + delta + off
             return esc_val, state, ptr
 
@@ -475,7 +481,13 @@ class DeviceRans16Interleaved:
                 active = esc & (i < cnt)
                 d, state, ptr = self._get_bits4(state, ptr, payload, active)
                 u = jnp.where(active, (u << 4) | d, u)
-            delta = (u >> 1) ^ -(u & 1)  # unzigzag
+            # unzigzag in uint32: int32 `u >> 1` sign-extends once the
+            # zigzag value reaches 2^31 (|delta| >= 2^30), silently
+            # diverging from the C++ mirror's logical shift
+            uu = u.astype(jnp.uint32)
+            delta = ((uu >> 1) ^ (-(uu & 1)).astype(jnp.uint32)).astype(
+                jnp.int32
+            )
             esc_val = jnp.where(delta < 0, 0, self.nsyms - 1) + delta + off
             return esc_val, state, ptr
 

@@ -20,10 +20,17 @@ Usage::
 
 Guarantees:
 
-* bitstreams are byte-identical to the unbatched ``ChannelCoder`` paths
-  (the coder's own invariant — tested);
 * requests of different sizes never share a batch (different padded
   shapes would recompile anyway);
+* partial batches are PADDED to ``max_batch`` (results sliced) so every
+  bucket uses one compiled executable — a fresh XLA compile on a live
+  request would blow the latency bound by minutes on a small host;
+* full batches produce bitstreams byte-identical to ``compress_batch``;
+  a padded partial batch runs the same program at the same shape but may
+  differ from the *single-image* coder in last-bit fp32 (and hence, at a
+  round() boundary, in bytes) — streams are always self-consistently
+  decodable, and any entropy-parameter divergence trips the decoder's
+  stream-integrity check loudly;
 * ``max_wait_ms`` bounds the extra latency batching may add under low
   load; a full bucket dispatches immediately.
 """
@@ -47,15 +54,26 @@ class ServiceStats:
     batches: int = 0
     errors: int = 0
     latencies_ms: Deque[float] = field(default_factory=lambda: deque(maxlen=4096))
+    # guards the deque against the scheduler appending while a monitoring
+    # thread snapshots (deque iteration raises on concurrent mutation)
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def record(self, n: int, latencies: List[float]) -> None:
+        with self._lock:
+            self.requests += n
+            self.batches += 1
+            self.latencies_ms.extend(latencies)
 
     def snapshot(self) -> Dict[str, float]:
-        lat = sorted(self.latencies_ms)
+        with self._lock:
+            lat = sorted(self.latencies_ms)
+            requests, batches, errors = self.requests, self.batches, self.errors
         pct = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))] if lat else 0.0
         return {
-            "requests": self.requests,
-            "batches": self.batches,
-            "errors": self.errors,
-            "mean_batch": self.requests / self.batches if self.batches else 0.0,
+            "requests": requests,
+            "batches": batches,
+            "errors": errors,
+            "mean_batch": requests / batches if batches else 0.0,
             "p50_ms": pct(0.50),
             "p95_ms": pct(0.95),
         }
@@ -137,33 +155,49 @@ class CodecService:
     # -------------------------------------------------------- scheduler
 
     def start(self) -> "CodecService":
-        if self._thread is not None:
-            return self
-        self._stopping = False
-        self._thread = threading.Thread(
-            target=self._run, name="codec-service", daemon=True
-        )
-        self._thread.start()
+        with self._lock:
+            if self._thread is not None:
+                return self
+            self._stopping = False
+            self._thread = threading.Thread(
+                target=self._run, name="codec-service", daemon=True
+            )
+            self._thread.start()
         return self
 
     def stop(self, drain: bool = True) -> None:
+        """Stop the service.  New admissions are rejected immediately.
+        ``drain=True`` processes everything already queued first;
+        ``drain=False`` fails queued requests with RuntimeError instead
+        of leaving their futures unresolved forever."""
         with self._lock:
-            if drain:
-                while self._pending and self._thread is not None:
-                    self._lock.wait(timeout=0.1)
             self._stopping = True
-            self._lock.notify()
+            if not drain:
+                for q in self._queues.values():
+                    while q:
+                        r = q.popleft()
+                        self._pending -= 1
+                        if not r.future.cancelled():
+                            r.future.set_exception(
+                                RuntimeError("CodecService stopped")
+                            )
+            self._lock.notify_all()
         if self._thread is not None:
             self._thread.join()
             self._thread = None
 
     def warmup(self, sizes: List[Tuple[int, int]], batch: Optional[int] = None) -> None:
-        """Precompile the batched pipeline for the given (H, W) buckets."""
+        """Precompile the pipeline for the given (H, W) buckets."""
         b = batch or self.max_batch
         for h, w in sizes:
-            x = np.zeros((b, h, w, 3), np.float32)
-            blobs = self.coder.compress_batch(self._to_device(x))
-            self.coder.decompress_batch(blobs)
+            if self.coder.is_ns:  # NS runs per image (no batched path)
+                x = np.zeros((1, h, w, 3), np.float32)
+                blob = self.coder.compress(self._to_device(x))
+                self.coder.decompress(blob)
+            else:
+                x = np.zeros((b, h, w, 3), np.float32)
+                blobs = self.coder.compress_batch(self._to_device(x))
+                self.coder.decompress_batch(blobs)
 
     @staticmethod
     def _to_device(x: np.ndarray):
@@ -172,7 +206,8 @@ class CodecService:
         return jnp.asarray(x)
 
     def _take_batch(self) -> Optional[List[_Req]]:
-        """Called with the lock held.  Returns a full or timed-out bucket."""
+        """Called with the lock held.  Returns a full or timed-out bucket;
+        when stopping, any non-empty bucket (the scheduler drains)."""
         now = time.perf_counter()
         best = None
         for bucket, q in self._queues.items():
@@ -180,7 +215,7 @@ class CodecService:
                 continue
             full = len(q) >= self.max_batch
             aged = (now - q[0].t0) * 1000.0 >= self.max_wait_ms
-            if full or aged:
+            if full or aged or self._stopping:
                 if best is None or q[0].t0 < self._queues[best][0].t0:
                     best = bucket
         if best is None:
@@ -190,15 +225,25 @@ class CodecService:
         self._pending -= len(batch)
         return batch
 
+    def _next_deadline_s(self) -> float:
+        """Called with the lock held: seconds until the oldest queued
+        request ages out — a fixed max_wait_ms sleep would let dispatch
+        latency reach ~2x the documented bound."""
+        now = time.perf_counter()
+        wait = self.max_wait_ms / 1000.0
+        for q in self._queues.values():
+            if q:
+                wait = min(wait, self.max_wait_ms / 1000.0 - (now - q[0].t0))
+        return max(wait, 1e-4)
+
     def _run(self) -> None:
         while True:
             with self._lock:
                 batch = self._take_batch()
                 if batch is None:
-                    if self._stopping:
+                    if self._stopping and self._pending == 0:
                         return
-                    # sleep until the oldest request ages out (or new work)
-                    self._lock.wait(timeout=self.max_wait_ms / 1000.0)
+                    self._lock.wait(timeout=self._next_deadline_s())
                     continue
             self._process(batch)
             with self._lock:
@@ -210,37 +255,52 @@ class CodecService:
         # entroformer models; the NS wavefront runs per image through
         # its own device scan
         batched = not self.coder.is_ns
+        # pad partial batches up to max_batch (repeat the last item, slice
+        # results): every distinct batch size would otherwise be a new XLA
+        # input shape and recompile the whole pipeline on a request that
+        # was promised at most ~max_wait_ms of batching latency
+        n = len(batch)
+        pad = self.max_batch - n if batched else 0
         try:
             if kind == "c":
                 if batched:
-                    xs = self._to_device(np.stack([r.payload for r in batch]))
-                    blobs = self.coder.compress_batch(xs)
+                    payloads = [r.payload for r in batch]
+                    payloads += [payloads[-1]] * pad
+                    xs = self._to_device(np.stack(payloads))
+                    blobs = self.coder.compress_batch(xs)[:n]
                 else:
                     blobs = [
                         self.coder.compress(self._to_device(r.payload[None]))
                         for r in batch
                     ]
                 for r, b in zip(batch, blobs):
-                    r.future.set_result(b)
+                    self._resolve(r, b)
             else:
                 if batched:
+                    payloads = [r.payload for r in batch]
+                    payloads += [payloads[-1]] * pad
                     recs = np.asarray(
-                        self.coder.decompress_batch([r.payload for r in batch])
-                    )
+                        self.coder.decompress_batch(payloads)
+                    )[:n]
                 else:
                     recs = [
                         np.asarray(self.coder.decompress(r.payload))[0]
                         for r in batch
                     ]
                 for i, r in enumerate(batch):
-                    r.future.set_result(recs[i])
+                    self._resolve(r, recs[i])
             t1 = time.perf_counter()
-            for r in batch:
-                self.stats.latencies_ms.append((t1 - r.t0) * 1000.0)
-            self.stats.requests += len(batch)
-            self.stats.batches += 1
+            self.stats.record(n, [(t1 - r.t0) * 1000.0 for r in batch])
         except Exception as e:
-            self.stats.errors += len(batch)
+            with self.stats._lock:
+                self.stats.errors += n
             for r in batch:
-                if not r.future.done():
+                if not r.future.done() and not r.future.cancelled():
                     r.future.set_exception(e)
+
+    @staticmethod
+    def _resolve(req: _Req, value) -> None:
+        # a caller may have cancelled the future while the batch computed;
+        # set_result would raise InvalidStateError and poison the batch
+        if not req.future.cancelled():
+            req.future.set_result(value)

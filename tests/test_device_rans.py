@@ -28,6 +28,12 @@ def _random_case(tables, seed, n, with_escapes, rows):
         k = max(1, n // 17)
         pos = rng.choice(n, k, replace=False)
         sym[pos] = rng.integers(-5000, 5000, k).astype(np.int32)
+        # extreme deltas (|δ| ≥ 2^30, zigzag ≥ 2^31): the device unzigzag
+        # must use uint32 logical shifts — int32 sign-extension decodes
+        # these wrong while the stream integrity check still passes
+        sym[pos[0]] = (1 << 30) + 12345
+        if k > 1:
+            sym[pos[1]] = -((1 << 30) + 999)
     return sym, idx
 
 

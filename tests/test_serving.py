@@ -48,7 +48,11 @@ class TestCodecService:
 
             recs = [svc.submit_decompress(b).result(timeout=600) for b in blobs]
             ref = np.asarray(svc.coder.decompress(direct))[0]
-            np.testing.assert_array_equal(recs[0], ref)
+            # decode symbols are identical (any σ divergence would trip the
+            # stream integrity check); the service pads partial batches to
+            # max_batch, so the final synthesize runs a different-batch
+            # executable — pixel equality is fp32-level, not bit-level
+            np.testing.assert_allclose(recs[0], ref, atol=1e-5)
             assert all(r.shape == (64, 64, 3) for r in recs)
 
             s = svc.stats.snapshot()
