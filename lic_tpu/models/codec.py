@@ -104,6 +104,14 @@ class CodecModel(nn.Module):
             self.syntax_model = SyntaxModel(M, M, cfg.syntax)
             if cfg.syntax_decoder:
                 self.conv_weights_gen = ConvGenerator(M, M)
+            # PredictionModel_Syntax codes the syntax stream.  Only the
+            # neural_syntax forward consumes it; the reference's ChARM
+            # nets construct it equally unused (SURVEY §2.4) and never
+            # entropy-code their syntax vector — our real streams pack it
+            # as raw i16 header bytes (~32 B/image, uncounted in bpp,
+            # matching the reference's accounting).  Kept for charm too:
+            # dropping the subtree would break strict checkpoint loads
+            # and depart from the reference's parameter surface.
             if cfg.code_syntax:
                 self.prediction_model_syntax = PredictionModelSyntax(
                     dim=M, outdim=2 * M,
@@ -182,13 +190,20 @@ class CodecModel(nn.Module):
                 )
             ns = cfg.num_slices
             slice_ch = N // ns
+            # support width for slice i: max_support_slices < 0 means ALL
+            # previous slices (the slice-loop convention) — a bare
+            # min(i, -1) would be -1 and silently shrink every SWAtten
+            n_sup = lambda i: (
+                i if cfg.max_support_slices < 0
+                else min(i, cfg.max_support_slices)
+            )
             if cfg.context == "entroformer":
                 pass  # slice machinery unused
             elif cfg.swatten:
                 self.atten_mean = [
                     SWAtten(
-                        N + slice_ch * min(i, cfg.max_support_slices),
-                        N + slice_ch * min(i, cfg.max_support_slices),
+                        N + slice_ch * n_sup(i),
+                        N + slice_ch * n_sup(i),
                         head_dim=16, window_size=cfg.swatten_window,
                         inter_dim=128,
                     )
@@ -196,8 +211,8 @@ class CodecModel(nn.Module):
                 ]
                 self.atten_scale = [
                     SWAtten(
-                        N + slice_ch * min(i, cfg.max_support_slices),
-                        N + slice_ch * min(i, cfg.max_support_slices),
+                        N + slice_ch * n_sup(i),
+                        N + slice_ch * n_sup(i),
                         head_dim=16, window_size=cfg.swatten_window,
                         inter_dim=128,
                     )
@@ -217,6 +232,12 @@ class CodecModel(nn.Module):
 
         # ---- post-processing ----
         if cfg.post_processing:
+            if cfg.syntax == "none":
+                raise ValueError(
+                    "post_processing=True needs a syntax stream: the HAN "
+                    "tail's second generated conv consumes the syntax "
+                    "vector (model/net.py:813-817)"
+                )
             self.han = HANHead(is_high=cfg.is_high)
             self.conv_weights_gen_han = ConvGenerator(M, 64)
 
@@ -234,10 +255,12 @@ class CodecModel(nn.Module):
                 )
             K = cfg.gain_units
             span = float(np.log(cfg.gain_span))
-            ramp = np.broadcast_to(
-                np.linspace(-span / 2, span / 2, K, dtype=np.float32)[:, None],
-                (K, cfg.N),
-            ).copy()
+            ramp_1d = (
+                np.zeros(1, np.float32)  # K=1: neutral gain, not span^-1/2
+                if K == 1
+                else np.linspace(-span / 2, span / 2, K, dtype=np.float32)
+            )
+            ramp = np.broadcast_to(ramp_1d[:, None], (K, cfg.N)).copy()
             self.log_gain = self.param(
                 "log_gain", lambda _k: jnp.asarray(ramp)
             )
@@ -340,7 +363,14 @@ class CodecModel(nn.Module):
         else:
             z2_in, content_in, syntax_in = z2_rounded, content_rounded, syntax_rounded
 
-        z2_lik = self.gm_z2(z2_in, self.z2_sigma, jnp.zeros_like(self.z2_sigma))
+        # |σ| with a floor (departure from the reference's raw signed
+        # parameter, net.py:706): a channel driven through σ=0 would go
+        # negative — upper < lower, likelihood pinned at the 1e-8 clip
+        # whose gradient is zero (permanently stuck) — and the wavefront
+        # coder already builds its pmf from |σ| (ns_z2_sigma), so this
+        # keeps the train-time rate estimate consistent with coded bits.
+        z2_scale = jnp.maximum(jnp.abs(self.z2_sigma), 1e-4)
+        z2_lik = self.gm_z2(z2_in, z2_scale, jnp.zeros_like(z2_scale))
 
         mu_c, sigma_c = self.prediction_model(content_rounded, h2, masked=True)
         content_lik = self.gm_content(content_in, sigma_c, mu_c)
@@ -507,7 +537,8 @@ class CodecModel(nn.Module):
     #
     # Piecewise entry points for the real encode/decode pipeline
     # (lic_tpu.models.compress).  Only hyper paths whose decoder consumes
-    # nothing but coded data are decodable: 'classic_dual' and 'elic'.
+    # nothing but coded data are decodable: 'classic_dual', 'elic' and
+    # 'unet_dec' (the skip pyramid re-synthesized from coded z_hat).
     # The reference's U-Net hyper feeds *encoder-side activations* —
     # including z3 itself — into its decoder as skip tensors
     # (net_unet_ha_hs.py:880,892), and the latent U-Net conditions on the
@@ -594,7 +625,9 @@ class CodecModel(nn.Module):
         return self.hs_model(z2_int)
 
     def ns_z2_sigma(self):
-        return jnp.abs(self.z2_sigma)[0, 0, 0]  # (N,)
+        # same |σ| + floor as the training likelihood (keeps coded bits
+        # consistent with the rate estimate)
+        return jnp.maximum(jnp.abs(self.z2_sigma), 1e-4)[0, 0, 0]  # (N,)
 
     def ns_syntax_params(self, h2):
         """(μ, σ) for the syntax vector — depends only on coded ẑ2."""

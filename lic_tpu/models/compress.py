@@ -2,7 +2,8 @@
 
 The reference never emits an actual bitstream (no ``.compress()`` call
 anywhere; bpp is likelihood-estimated).  This module supplies the missing
-capability for the decodable hyper paths ('classic_dual', 'elic'):
+capability for the decodable hyper paths ('classic_dual', 'elic',
+'unet_dec'):
 
 encode (ONE device pass + host rANS):
   x → g_a → z3; z → rANS (factorized CDFs); the shared ``slices_pass``
@@ -155,7 +156,7 @@ class ChannelCoder:
                 f"hyper path '{cfg.hyper}' is not decodable: the "
                 "reference feeds encoder-side activations into its hyper "
                 "decoder (see lic_tpu.models.compress docstring); use a "
-                "'classic_dual' or 'elic' preset for real bitstreams (or "
+                "'classic_dual', 'elic' or 'unet_dec' preset for real bitstreams (or "
                 "the neural_syntax family's wavefront coder)"
             )
 
