@@ -77,7 +77,13 @@ def main(argv=None) -> None:
             {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
             jnp.asarray(sample), training=True,
         )
-        init_params = load_params(args.weight_path, variables["params"])
+        # phase-2 warm start: a base-phase checkpoint has no HAN-tail
+        # leaves, so the load must be non-strict (fresh leaves keep their
+        # init — the reference loads a HAN-less state dict the same way)
+        init_params = load_params(
+            args.weight_path, variables["params"],
+            strict=not args.post_processing,
+        )
 
     state = train(
         model, it, tc,

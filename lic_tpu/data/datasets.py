@@ -104,11 +104,36 @@ def train_iterator(
     def worker(tid: int):
         rng = np.random.default_rng(seed * 1000 + tid)
         n = len(dataset)
+        failures = 0
         while not stop.is_set():
-            idxs = rng.integers(0, n, size=batch_size)
-            batch = np.stack(
-                [normalize_pm1(dataset.sample_crop(int(i), rng)) for i in idxs]
-            )
+            # a single corrupt/truncated image must NOT kill the worker
+            # thread (exceptions would only reach threading's excepthook;
+            # once every worker died, q.get() below would hang a multi-day
+            # run forever).  Resample per item, give up loudly only if
+            # nothing in the folder is readable.
+            crops = []
+            while len(crops) < batch_size and not stop.is_set():
+                try:
+                    crops.append(
+                        normalize_pm1(
+                            dataset.sample_crop(int(rng.integers(0, n)), rng)
+                        )
+                    )
+                    failures = 0
+                except Exception as e:  # noqa: BLE001 — skip bad files
+                    failures += 1
+                    if failures >= max(10 * n, 100):
+                        import sys
+
+                        print(
+                            f"prefetch worker {tid}: {failures} consecutive "
+                            f"unreadable samples, giving up: {e}",
+                            file=sys.stderr,
+                        )
+                        return
+            if len(crops) < batch_size:
+                return  # stopping
+            batch = np.stack(crops)
             # retry the SAME batch on a full queue — never discard decoded
             # host work (decode dominates on this 1-vCPU host)
             while not stop.is_set():

@@ -12,6 +12,7 @@ the bitstream remains decodable.
 
 from __future__ import annotations
 
+import functools
 import time
 from functools import partial
 from typing import Any, Dict, Iterator, List, Optional
@@ -30,8 +31,9 @@ from .metrics import mse_255, psnr_255
 
 
 def _load_pm1(path: str) -> np.ndarray:
-    img = load_image_uint8(path).astype(np.float32)
-    return (img / 127.5 - 1.0)[None]  # (1, H, W, 3)
+    from ..data.datasets import normalize_pm1
+
+    return normalize_pm1(load_image_uint8(path))[None]  # (1, H, W, 3)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -104,43 +106,66 @@ def content_adaptive_finetune(
     pre-HAN reconstruction even on a ``post_processing=True`` model."""
     padded, _ = pad_to_multiple(x_pm1, eval_cfg.pad_multiple, mode="replicate")
 
-    sched = optax.piecewise_constant_schedule(
+    opt, step = _tune_step_cached(
+        model,
+        padded.shape,
+        eval_cfg.lmbda,
         eval_cfg.tune_lr,
-        {eval_cfg.tune_lr_drop_step: eval_cfg.tune_lr_gamma},
-    )
-    # freeze everything but g_a (optax.masked would leak raw gradients into
-    # the frozen leaves — multi_transform + set_to_zero is the correct form)
-    labels = jax.tree_util.tree_map_with_path(
-        lambda path, _: "tune"
-        if any(str(getattr(k, "key", k)) == "g_a" for k in path)
-        else "freeze",
-        params,
-    )
-    opt = optax.multi_transform(
-        {"tune": optax.adam(sched), "freeze": optax.set_to_zero()}, labels
+        eval_cfg.tune_lr_drop_step,
+        eval_cfg.tune_lr_gamma,
+        eval_cfg.rate,
     )
     opt_state = opt.init(params)
-
-    def loss_fn(p, key):
-        out = model.apply(
-            {"params": p}, padded, training=True,
-            use_post_processing=False, rngs={"noise": key},
-            rate=None if eval_cfg.rate is None else jnp.float32(eval_cfg.rate),
-        )
-        return eval_cfg.lmbda * out.mse + out.bpp
-
-    @jax.jit
-    def step(p, opt_state, key):
-        key, sub = jax.random.split(key)
-        loss, grads = jax.value_and_grad(loss_fn)(p, sub)
-        updates, opt_state = opt.update(grads, opt_state, p)
-        return optax.apply_updates(p, updates), opt_state, key, loss
 
     key = jax.random.PRNGKey(0)
     p = params
     for _ in range(eval_cfg.tune_iters):
-        p, opt_state, key, _ = step(p, opt_state, key)
+        p, opt_state, key, _ = step(p, opt_state, key, padded)
     return p
+
+
+@functools.lru_cache(maxsize=16)
+def _tune_step_cached(
+    model, shape, lmbda, tune_lr, drop_step, gamma, rate
+):
+    """Build (optimizer, jitted tune step) once per (model, padded shape,
+    tune hyper-params): jax.jit caches by function identity, so defining
+    the step inside content_adaptive_finetune recompiled the full fwd+bwd
+    graph for EVERY image of a folder sweep even at identical shapes."""
+    sched = optax.piecewise_constant_schedule(tune_lr, {drop_step: gamma})
+
+    # freeze everything but g_a (optax.masked would leak raw gradients into
+    # the frozen leaves — multi_transform + set_to_zero is the correct
+    # form).  Labels via a callable: computed from the params tree at
+    # opt.init time, so no concrete params needed here.
+    def labels(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "tune"
+            if any(str(getattr(k, "key", k)) == "g_a" for k in path)
+            else "freeze",
+            params,
+        )
+
+    opt = optax.multi_transform(
+        {"tune": optax.adam(sched), "freeze": optax.set_to_zero()}, labels
+    )
+
+    def loss_fn(p, key, x):
+        out = model.apply(
+            {"params": p}, x, training=True,
+            use_post_processing=False, rngs={"noise": key},
+            rate=None if rate is None else jnp.float32(rate),
+        )
+        return lmbda * out.mse + out.bpp
+
+    @jax.jit
+    def step(p, opt_state, key, x):
+        key, sub = jax.random.split(key)
+        loss, grads = jax.value_and_grad(loss_fn)(p, sub, x)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, key, loss
+
+    return opt, step
 
 
 def evaluate_folder(

@@ -77,8 +77,17 @@ def _avg_pool2(x: jax.Array) -> jax.Array:
 
 def ms_ssim(a: jax.Array, b: jax.Array, data_range: float = 1.0) -> jax.Array:
     """Multi-scale SSIM (5 scales, standard weights)."""
-    weights = jnp.asarray(_MSSSIM_WEIGHTS)
+    # every scale must leave >= the 11-tap VALID blur after its halving
+    # pools — below that XLA errors with an opaque negative-dim conv
+    # (pytorch_msssim documents the equivalent >160 constraint).  Small
+    # images drop the finest-count scales and renormalize the weights
+    # instead of crashing (full 5-scale metric for min(H, W) >= 176).
     levels = len(_MSSSIM_WEIGHTS)
+    min_dim = min(a.shape[1], a.shape[2])
+    while levels > 1 and (min_dim >> (levels - 1)) < 11:
+        levels -= 1
+    w_np = np.asarray(_MSSSIM_WEIGHTS[:levels])
+    weights = jnp.asarray(w_np / w_np.sum())
     vals = []
     for i in range(levels):
         s, cs = ssim(a, b, data_range=data_range, return_cs=True)
@@ -87,8 +96,11 @@ def ms_ssim(a: jax.Array, b: jax.Array, data_range: float = 1.0) -> jax.Array:
             a = _avg_pool2(a)
             b = _avg_pool2(b)
     vals = jnp.stack(vals)
-    # standard formulation: prod(cs_i^w_i) * ssim_L^w_L, relu-clamped
-    vals = jnp.maximum(vals, 0.0)
+    # standard formulation: prod(cs_i^w_i) * ssim_L^w_L.  Clamp with a
+    # small EPSILON, not 0: d(v^w)/dv at v=0 is 0·∞ = NaN under autodiff,
+    # and an early-training negative cs would poison every gradient (the
+    # NaN guard would then abort the run)
+    vals = jnp.maximum(vals, 1e-6)
     return jnp.prod(vals ** weights)
 
 

@@ -34,7 +34,8 @@ def warmup_cosine(
     base_lr: float, total_steps: int, warmup_steps: int = 0, end_lr: float = 0.0
 ) -> optax.Schedule:
     return optax.warmup_cosine_decay_schedule(
-        init_value=0.0,
+        # warmup_steps=0 means NO warmup: step 0 starts at base_lr
+        init_value=base_lr if warmup_steps <= 0 else 0.0,
         peak_value=base_lr,
         warmup_steps=max(warmup_steps, 1),
         decay_steps=total_steps,
@@ -54,7 +55,11 @@ def warmup_stagedecay(
         import jax.numpy as jnp
 
         step = jnp.asarray(step)
-        warm = jnp.minimum(step / max(warmup_steps, 1), 1.0)
+        # warmup_steps=0 means NO warmup: step 0 must use base_lr, not 0
+        warm = (
+            1.0 if warmup_steps <= 0
+            else jnp.minimum(step / warmup_steps, 1.0)
+        )
         n_past = jnp.sum(jnp.asarray([step >= s for s in stages]), axis=0)
         return base_lr * warm * (stage_decay ** n_past)
 
@@ -68,7 +73,10 @@ def warmup_linear(
         import jax.numpy as jnp
 
         step = jnp.asarray(step)
-        warm = jnp.minimum(step / max(warmup_steps, 1), 1.0)
+        warm = (
+            1.0 if warmup_steps <= 0
+            else jnp.minimum(step / warmup_steps, 1.0)
+        )
         frac = jnp.clip(1.0 - step / total_steps, 0.0, 1.0)
         return base_lr * warm * frac
 

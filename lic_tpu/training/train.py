@@ -140,7 +140,12 @@ def make_train_step(
     Gain-unit models with ``train_cfg.lmbda_list`` train multi-rate: each
     step samples a unit k uniformly and optimizes λ_k·255²·D + R at
     rate=k — one checkpoint, K operating points."""
-    multi_rate = bool(train_cfg.lmbda_list) and model.cfg.gain_units > 0
+    multi_rate = bool(train_cfg.lmbda_list)
+    if multi_rate and model.cfg.gain_units == 0:
+        raise ValueError(
+            "lmbda_list was given but the model has no gain units — the "
+            "run would silently train single-rate at lmbda_list unused"
+        )
     if multi_rate and len(train_cfg.lmbda_list) != model.cfg.gain_units:
         raise ValueError(
             f"lmbda_list has {len(train_cfg.lmbda_list)} entries for "
@@ -295,4 +300,9 @@ def train(
                 fd.write(line + "\n")
         if ckpt and (epoch % train_cfg.ckpt_every_epochs == train_cfg.ckpt_every_epochs - 1):
             ckpt.save(state, epoch)
+    if ckpt:
+        # Orbax StandardCheckpointer commits asynchronously — without this
+        # a caller (or the NaN-guard unwind) can observe the newest
+        # checkpoint as an uncommitted tmp dir
+        ckpt.wait()
     return state

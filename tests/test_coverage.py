@@ -181,3 +181,22 @@ class TestDataPipeline:
         crop = ds.sample_crop(0, rng)
         assert crop.shape == (256, 256, 3)
         assert crop.dtype == np.uint8
+
+    def test_prefetch_survives_corrupt_file(self, tmp_path):
+        """A truncated image must not kill the worker threads (a dead pool
+        would hang q.get() forever on a long run) — bad samples are
+        resampled and good batches keep flowing."""
+        from PIL import Image
+
+        from lic_tpu.data.datasets import ImageFolderDataset, train_iterator
+
+        rng = np.random.default_rng(6)
+        good = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(good).save(tmp_path / "good.png")
+        (tmp_path / "corrupt.png").write_bytes(b"\x89PNG\r\n\x1a\nbroken")
+        ds = ImageFolderDataset(str(tmp_path), crop_size=32)
+        it = train_iterator(ds, batch_size=2, num_threads=2, prefetch=2)
+        for _ in range(6):  # enough draws to hit the corrupt file w.h.p.
+            batch = next(it)
+            assert batch.shape == (2, 32, 32, 3)
+            assert np.isfinite(np.asarray(batch)).all()
