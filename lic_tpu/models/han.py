@@ -118,9 +118,11 @@ class CSAMModule(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (1,))
         g = lax.conv_general_dilated(
-            vol, kernel, (1, 1, 1), [(1, 1)] * 3,
+            # cast like Conv2d/ConvTranspose2d do — raw fp32 params with
+            # bf16 activations would error only inside CSAM
+            vol, kernel.astype(vol.dtype), (1, 1, 1), [(1, 1)] * 3,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        ) + bias
+        ) + bias.astype(vol.dtype)
         g = jax.nn.sigmoid(g)
         g = gamma * g
         g = g[..., 0].transpose(0, 2, 3, 1)  # back to NHWC

@@ -12,8 +12,21 @@
 
 TPU note (shared decoder): the reference runs its hyper decoder twice with
 identical inputs for scales and means (``net_unet_ha_hs.py:892-895``) — a 2×
-waste.  ``UnetHyperSynthesis.two_heads`` / callers evaluate once and reuse,
-which is numerically identical.
+waste that also makes scales == means EXACTLY (a degenerate coupling).
+``UnetHyperSynthesis.two_heads`` evaluates the trunk once with a second
+learned output projection: same compute shape, strictly more expressive
+than the reference's duplicated pass (documented departure; set
+``shared_hyper_decoder=False`` for the two-separate-decoders variant).
+
+Known literal departure (documented, not a behavior change): the split
+U-Net's STAGE-2 channel-half assignment is mirrored vs the reference —
+``Unet_ha_new``/``Unet_hs_new`` give the conv branch channels [:128] at
+their second splits (``Block_unet.py:828,881``) while this implementation
+gives it [128:].  The two architectures are identical up to a fixed
+permutation of the preceding 1x1/strided conv's output channels (which
+training absorbs), so from-scratch behavior is unaffected; a torch-weight
+importer would need to swap the halves.  Kept as-is because trained
+checkpoints predate the observation.
 """
 
 from __future__ import annotations
@@ -260,6 +273,11 @@ class LatentUnet(nn.Module):
         self.cb1 = mk(half)
         self.cb2 = mk(128)
         self.cb3 = mk(256)
+        # up-stage-2 conv: Unet shares ResBlock2 between down and up
+        # (Block_unet.py:473,490) but Unet_new keeps conv2/conv4 distinct
+        # (:525,541) — only SpatialTransformer2 is shared there
+        if not res:
+            self.cb4 = mk(128)
         self.down1 = Conv2d(256, kernel_size=3, stride=2, padding=1)
         self.down2 = Conv2d(512, kernel_size=3, stride=2, padding=1)
         self.mid = [
@@ -274,24 +292,35 @@ class LatentUnet(nn.Module):
         if self.two_heads:
             self.up4b = ConvTranspose2d(self.out_channels, 1, 1, 0, 0)
 
-    def _split(self, x, conv_mod, trans_mod):
+    def _split(self, x, conv_mod, trans_mod, conv_first):
+        """Apply (conv, trans) branches to the two channel halves.  The
+        reference's half assignment differs per stage AND per variant:
+        Unet splits (conv, trans) everywhere (Block_unet.py:466-491);
+        Unet_new is (trans, conv) at stage 1 and the up-middle but
+        (conv, trans) at both stage-2 splits (:552-578).  The concat
+        order downstream is always (conv_out, trans_out)."""
         half = x.shape[-1] // 2
-        if self.variant == "res":
+        if conv_first:
             return conv_mod(x[..., :half]), trans_mod(x[..., half:])
         return conv_mod(x[..., half:]), trans_mod(x[..., :half])
 
     def __call__(self, x):
-        c, t = self._split(x, self.cb1, self.st1)
+        res = self.variant == "res"
+        c, t = self._split(x, self.cb1, self.st1, conv_first=res)
         d1 = nn.relu(self.down1(jnp.concatenate([c, t], axis=-1)))
-        c, t = self._split(d1, self.cb2, self.st2)
+        c, t = self._split(d1, self.cb2, self.st2, conv_first=True)
         d2 = nn.relu(self.down2(jnp.concatenate([c, t], axis=-1)))
         m = d2
         for blk in self.mid:
             m = blk(m)
-        c, t = self._split(m, self.cb3, self.st3)
+        c, t = self._split(m, self.cb3, self.st3, conv_first=res)
         u1 = nn.relu(self.up1(jnp.concatenate([c, t], axis=-1)))
         u1 = nn.relu(self.up3(jnp.concatenate([u1, d1], axis=-1)))
-        c, t = self._split(u1, self.cb2, self.st2)  # shared stage-2 modules
+        # stage-2 modules on the up path: st2 always shared; the conv is
+        # shared only for 'res' (see setup)
+        c, t = self._split(
+            u1, self.cb2 if res else self.cb4, self.st2, conv_first=True
+        )
         u2 = nn.relu(self.up2(jnp.concatenate([c, t], axis=-1)))
         u2 = jnp.concatenate([u2, x], axis=-1)
         out = self.up4(u2)

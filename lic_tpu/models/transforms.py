@@ -129,7 +129,7 @@ class SynthesisTransform(nn.Module):
             return x
 
         if self.variant == "rbs":
-            return _rbs_body(self, x, filters)
+            return _rbs_body(x, filters)
 
         assert self.variant == "rich"
         # net_unet_ha_hs.py:287-326: WAM(ws4,ss2) in, WAM(ws8,ss2) mid
@@ -146,7 +146,7 @@ class SynthesisTransform(nn.Module):
         return x
 
 
-def _rbs_body(m: nn.Module, x: jax.Array, filters: Sequence[int]) -> jax.Array:
+def _rbs_body(x: jax.Array, filters: Sequence[int]) -> jax.Array:
     """Working assembly of ``synthesisTransformModel_RBS``
     (``model/Net_unet.py:371-419`` — broken in the reference: its
     ``__init__`` calls ``super(synthesisTransformModel, ...)`` and it is
