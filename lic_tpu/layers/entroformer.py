@@ -48,6 +48,11 @@ def relative_position_buckets(
     """2-D binned relative positions (static): bucket 0 holds everything
     beyond the L1 radius ``num_buckets // 2`` (``entroformer_helper.py:
     133-169``)."""
+    if num_buckets % 2 == 0:
+        # the reference asserts odd at construction; an even count would
+        # emit indexes past the embedding table, which JAX gathers CLAMP
+        # silently (in-radius pairs aliasing the last row, no diagnostic)
+        raise ValueError(f"num_buckets must be odd, got {num_buckets}")
     half = num_buckets // 2
     qv, qh = q_shape
     kv, kh = k_shape
@@ -166,6 +171,11 @@ class TransHyperScale(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if x.shape[-1] != self.cin:
+            raise ValueError(
+                f"TransHyperScale expects cin={self.cin} channels, got "
+                f"{x.shape[-1]}"
+            )
         cfg = self.cfg
         d = cfg.dim
         x = nn.Dense(d, name="proj_in")(x)
@@ -189,13 +199,12 @@ class TransHyperScale(nn.Module):
 
 
 def raster_causal_mask(h: int, w: int) -> np.ndarray:
-    """(L, L) strict raster-order causal mask (True = may attend).  Token 0
-    has no context; it attends to itself (which holds zeros) so softmax
-    stays defined."""
-    l = h * w
-    m = np.tril(np.ones((l, l), bool), k=-1)
-    m[0, 0] = True
-    return m
+    """(L, L) raster causal mask, True = may attend — tril INCLUDING the
+    diagonal: the raster path feeds inputs shifted by one position, so
+    slot q holds y[q−1] and attending ≤ self exposes exactly the strict
+    causal context (see ``EntroformerContext.__call__``, which uses this
+    mask)."""
+    return np.tril(np.ones((h * w, h * w), bool))
 
 
 def checkerboard_masks(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -267,9 +276,7 @@ class EntroformerContext(nn.Module):
             shifted = jnp.concatenate(
                 [jnp.zeros((b, 1, c), y_hat.dtype), flat[:, :-1]], axis=1
             ).reshape(b, h, w, c)
-            mask = jnp.asarray(
-                np.tril(np.ones((h * w, h * w), bool))  # attend ≤ self
-            )
+            mask = jnp.asarray(raster_causal_mask(h, w))
             return self._run(shifted, hyper, mask, (h, w))
 
         anchor, _ = checkerboard_masks(h, w)

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.bounds import lower_bound
+from ..ops.bounds import NonNegativeParametrizer, lower_bound
 
 # Global switch for the fused Pallas kernel (see layers/pallas_gdn.py).
 # Toggle with `set_pallas_gdn(True)` — e.g. for TPU inference/bench runs.
@@ -41,6 +41,25 @@ def set_pallas_gdn(enabled: bool) -> None:
 
 def pallas_gdn_enabled() -> bool:
     return _PALLAS_GDN
+
+
+def _reparam_beta_gamma(module, ch, beta_min, gamma_init, reparam_offset):
+    """beta/gamma stored via NonNegativeParametrizer (ops/bounds.py) — the
+    single source for the lower_bound(x)**2 - pedestal reparameterization
+    (it was previously restated inline here and in GDN1; same math, same
+    param names/values)."""
+    beta_rp = NonNegativeParametrizer(
+        minimum=beta_min, reparam_offset=reparam_offset
+    )
+    gamma_rp = NonNegativeParametrizer(reparam_offset=reparam_offset)
+    beta_p = module.param(
+        "beta", lambda key: beta_rp.init(jnp.ones((ch,), jnp.float32))
+    )
+    gamma_p = module.param(
+        "gamma",
+        lambda key: gamma_rp.init(gamma_init * jnp.eye(ch, dtype=jnp.float32)),
+    )
+    return beta_rp(beta_p), gamma_rp(gamma_p)
 
 
 class GDN(nn.Module):
@@ -57,23 +76,10 @@ class GDN(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         ch = self.num_features
         assert x.shape[-1] == ch, f"GDN expects {ch} channels, got {x.shape[-1]}"
-        ped = self.reparam_offset ** 2
-        beta_bound = (self.beta_min + ped) ** 0.5
-        gamma_bound = self.reparam_offset
-
-        beta_p = self.param(
-            "beta", lambda key: jnp.sqrt(jnp.ones((ch,), jnp.float32) + ped)
-        )
-        gamma_p = self.param(
-            "gamma",
-            lambda key: jnp.sqrt(
-                self.gamma_init * jnp.eye(ch, dtype=jnp.float32) + ped
-            ),
-        )
-
         dtype = self.dtype or x.dtype
-        beta = lower_bound(beta_p, jnp.float32(beta_bound)) ** 2 - ped
-        gamma = lower_bound(gamma_p, jnp.float32(gamma_bound)) ** 2 - ped
+        beta, gamma = _reparam_beta_gamma(
+            self, ch, self.beta_min, self.gamma_init, self.reparam_offset
+        )
 
         xc = x.astype(dtype)
         if _PALLAS_GDN:
@@ -116,20 +122,9 @@ class GDN1(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         ch = self.num_features
-        ped = self.reparam_offset ** 2
-        beta_bound = (self.beta_min + ped) ** 0.5
-        gamma_bound = self.reparam_offset
-        beta_p = self.param(
-            "beta", lambda key: jnp.sqrt(jnp.ones((ch,), jnp.float32) + ped)
+        beta, gamma = _reparam_beta_gamma(
+            self, ch, self.beta_min, self.gamma_init, self.reparam_offset
         )
-        gamma_p = self.param(
-            "gamma",
-            lambda key: jnp.sqrt(
-                self.gamma_init * jnp.eye(ch, dtype=jnp.float32) + ped
-            ),
-        )
-        beta = lower_bound(beta_p, jnp.float32(beta_bound)) ** 2 - ped
-        gamma = lower_bound(gamma_p, jnp.float32(gamma_bound)) ** 2 - ped
         norm = jnp.einsum("...i,oi->...o", jnp.abs(x), gamma) + beta
         if self.inverse:
             return x * norm

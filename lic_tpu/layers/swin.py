@@ -79,6 +79,7 @@ class WMSA(nn.Module):
         # window grid; pad tokens are masked out of every softmax (pad↔pad
         # attends so no row is all--inf) and the output is cropped back —
         # divisible shapes keep the reference behavior exactly.
+        assert self.block_type in ("W", "SW"), self.block_type
         pad_b, pad_r = (-h) % ws, (-w) % ws
         hp, wp = h + pad_b, w + pad_r
         if pad_b or pad_r:
@@ -212,6 +213,13 @@ class SWAtten(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.inter_dim is None and self.output_dim != self.input_dim:
+            raise ValueError(
+                "SWAtten with inter_dim=None keeps the input width; "
+                f"output_dim={self.output_dim} != input_dim={self.input_dim} "
+                "would be silently ignored (the out_conv only exists on the "
+                "inter_dim path)"
+            )
         n = self.inter_dim if self.inter_dim is not None else self.input_dim
         if self.inter_dim is not None:
             x = Conv2d(n, kernel_size=1, name="in_conv")(x)

@@ -11,7 +11,6 @@ so they constant-fold into the compiled program.
 
 from __future__ import annotations
 
-from typing import Any
 
 import numpy as np
 import jax
@@ -109,11 +108,12 @@ class WindowAttention(nn.Module):
     Input: (B·nW, N=ws², C).  Reference: ``layers/win_attention.py:38-116``.
     """
 
+    # dim is kept for signature parity with the reference module (channels
+    # are derived from the input; the field itself is not read)
     dim: int
     window_size: int
     num_heads: int
     qkv_bias: bool = True
-    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -127,6 +127,17 @@ class WindowAttention(nn.Module):
         nh = self.num_heads
         ws = self.window_size
 
+        # ONE param/index construction for both execution paths — the
+        # shared "relative_position_bias_table" name is load-bearing for
+        # checkpoint interchange between fused and XLA execution
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(stddev=0.02),
+            ((2 * ws - 1) * (2 * ws - 1), nh),
+            jnp.float32,
+        )
+        idx = relative_position_index(ws).reshape(-1)
+
         if x.ndim == 4:
             # Fused Pallas path: x is the padded+rolled (B, Hp, Wp, C) map;
             # windowing happens inside the kernel.  Same param tree as the
@@ -136,13 +147,6 @@ class WindowAttention(nn.Module):
             b4, hp, wp, c = x.shape
             n = ws * ws
             qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(x)
-            bias_table = self.param(
-                "relative_position_bias_table",
-                nn.initializers.truncated_normal(stddev=0.02),
-                ((2 * ws - 1) * (2 * ws - 1), nh),
-                jnp.float32,
-            )
-            idx = relative_position_index(ws).reshape(-1)
             # rel_flat[i, h·n+m] = bias[idx(i,m), h]
             rel_flat = (
                 bias_table[idx]
@@ -178,13 +182,6 @@ class WindowAttention(nn.Module):
             "bnhd,bmhd->bhnm", q * scale, k, preferred_element_type=jnp.float32
         )
 
-        bias_table = self.param(
-            "relative_position_bias_table",
-            nn.initializers.truncated_normal(stddev=0.02),
-            ((2 * ws - 1) * (2 * ws - 1), nh),
-            jnp.float32,
-        )
-        idx = relative_position_index(ws).reshape(-1)
         rel_bias = bias_table[idx].reshape(n, n, nh).transpose(2, 0, 1)
         attn = attn + rel_bias[None].astype(attn.dtype)
 

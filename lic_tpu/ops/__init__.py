@@ -12,6 +12,7 @@ from .bounds import (
     NonNegativeParametrizer,
 )
 from .rounding import (
+    additive_noise,
     ste_round,
     bypass_round,
     noise_quant,
@@ -22,6 +23,7 @@ __all__ = [
     "lower_bound",
     "upper_bound",
     "NonNegativeParametrizer",
+    "additive_noise",
     "ste_round",
     "bypass_round",
     "noise_quant",
