@@ -58,16 +58,31 @@ def _bench_batch(batch, h, w):
             "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests/ext/ss.png",
             f"{sp}/labmaze/assets/sky_01/ft.png",
         ]
+        # skip unreadable sources per image: one missing path must not
+        # silently turn the WHOLE batch into 4.6 bpp noise (codec numbers
+        # would stop being comparable across hosts with no indicator)
+        planes = []
+        for p in srcs:
+            try:
+                im = Image.open(p).convert("RGB")
+                iw, ih = im.size
+                if iw < w or ih < h:
+                    im = im.resize((max(iw, w), max(ih, h)), Image.LANCZOS)
+                planes.append(
+                    np.asarray(im)[:h, :w].astype(np.float32) / 127.5 - 1.0
+                )
+            except Exception:
+                continue
+        if not planes:
+            raise FileNotFoundError("no bench source images readable")
         out = np.empty((batch, h, w, 3), np.float32)
         for i in range(batch):
-            im = Image.open(srcs[i % len(srcs)]).convert("RGB")
-            iw, ih = im.size
-            if iw < w or ih < h:
-                im = im.resize((max(iw, w), max(ih, h)), Image.LANCZOS)
-            a = np.asarray(im)[:h, :w].astype(np.float32)
-            out[i] = a / 127.5 - 1.0
+            out[i] = planes[i % len(planes)]
         return out
-    except Exception:
+    except Exception as e:
+        import sys
+
+        print(f"bench: falling back to noise batch ({e})", file=sys.stderr)
         return (
             np.random.default_rng(0)
             .uniform(-1, 1, (batch, h, w, 3))
@@ -279,7 +294,7 @@ def main():
         extra["ns_codec_error"] = f"{type(e).__name__}: {e}"
 
     extra = {
-        k: (round(v, 3) if isinstance(v, float) else v)
+        k: (round(v, 4) if isinstance(v, float) else v)
         for k, v in extra.items()
     }
     print(

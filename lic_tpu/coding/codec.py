@@ -48,6 +48,18 @@ def _gaussian_pmf(scale: float, radius: int, mean: float = 0.0) -> np.ndarray:
     return np.maximum(upper - lower, 0.0)
 
 
+def scale_table_indexes(table: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """Index of the smallest table scale >= scale (lower-bounded) — the
+    ONE host implementation; the device mirror is
+    ``models.compress._dev_scale_idx`` and must stay bit-identical."""
+    s = np.maximum(scales, table[0])
+    return (
+        np.searchsorted(table, s - 1e-9)
+        .clip(0, len(table) - 1)
+        .astype(np.int32)
+    )
+
+
 class GaussianCoder:
     """rANS coder over the scale-table grid for (y − μ) residuals."""
 
@@ -59,17 +71,20 @@ class GaussianCoder:
         rows = []
         for s in self.scale_table:
             pmf = _gaussian_pmf(float(s), radius)
-            rows.append(pmf_to_quantized_cdf(pmf / max(pmf.sum(), 1e-12) * 0.9999))
+            # honest tail mass: do NOT renormalize the truncated pmf —
+            # pmf_to_quantized_cdf assigns 1−Σpmf to the escape slot, so a
+            # σ=64 row keeps its true ~31% out-of-range mass (~1.7 bits/
+            # escape) instead of squeezing it into 1e-4 (~13 bits/escape).
+            # The 0.9999 factor only guarantees a nonzero escape slot for
+            # tiny σ (same construction as FactorizedCoder).
+            rows.append(pmf_to_quantized_cdf(np.clip(pmf, 0.0, 1.0) * 0.9999))
         self.codec = RansCodec(
             np.stack(rows), np.full(len(rows), -radius, np.int32)
         )
 
     def scale_indexes(self, scales: np.ndarray) -> np.ndarray:
         """Index of the smallest table scale >= scale (lower-bounded)."""
-        s = np.maximum(scales, self.scale_table[0])
-        return np.searchsorted(self.scale_table, s - 1e-9).clip(
-            0, len(self.scale_table) - 1
-        ).astype(np.int32)
+        return scale_table_indexes(self.scale_table, scales)
 
     def encode(self, y: np.ndarray, means: np.ndarray, scales: np.ndarray) -> bytes:
         symbols = np.round(y - means).astype(np.int32)
@@ -132,18 +147,16 @@ class GaussianMuCoder:
         for s in self.scale_table:
             for d in centers:
                 pmf = _gaussian_pmf(float(s), radius, mean=float(d))
+                # honest tail mass — see GaussianCoder
                 rows.append(
-                    pmf_to_quantized_cdf(pmf / max(pmf.sum(), 1e-12) * 0.9999)
+                    pmf_to_quantized_cdf(np.clip(pmf, 0.0, 1.0) * 0.9999)
                 )
         self.codec = RansCodec(
             np.stack(rows), np.full(len(rows), -radius, np.int32)
         )
 
     def indexes(self, scales: np.ndarray, means: np.ndarray) -> np.ndarray:
-        s = np.maximum(scales, self.scale_table[0])
-        si = np.searchsorted(self.scale_table, s - 1e-9).clip(
-            0, len(self.scale_table) - 1
-        )
+        si = scale_table_indexes(self.scale_table, scales)
         delta = means - np.round(means)  # [-0.5, 0.5]
         dj = np.clip(
             np.floor((delta + 0.5) * self.n_delta), 0, self.n_delta - 1

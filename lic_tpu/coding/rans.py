@@ -23,10 +23,19 @@ _LIB = None
 
 
 def _build() -> None:
+    # compile to a temp path and os.rename (atomic on POSIX): concurrent
+    # processes racing the build must never CDLL a half-written .so
+    tmp = f"{_SO}.tmp.{os.getpid()}"
     cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _SO, _SRC,
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC,
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError as e:
+        raise RuntimeError(
+            f"rans.cpp compile failed:\n{e.stderr.decode(errors='replace')}"
+        ) from e
+    os.replace(tmp, _SO)
 
 
 def _lib() -> ctypes.CDLL:
@@ -106,7 +115,6 @@ def pmf_to_quantized_cdf(pmf: np.ndarray, precision: int = _PRECISION) -> np.nda
     total = 1 << precision
     # reserve escape mass = max(remaining tail mass, tiny)
     tail = max(1.0 - pmf.sum(), 0.0) + 1e-9
-    freqs = np.zeros(s + 1, np.int64)
     scaled = np.concatenate([pmf, [tail]])
     scaled = scaled / scaled.sum() * total
     freqs = np.maximum(np.round(scaled).astype(np.int64), 1)
@@ -154,6 +162,7 @@ class RansCodec:
         symbols = np.ascontiguousarray(symbols.reshape(-1), np.int32)
         indexes = np.ascontiguousarray(indexes.reshape(-1), np.int32)
         assert symbols.shape == indexes.shape
+        self._check_indexes(indexes)
         cap = symbols.size * 16 + 1024
         out = np.empty(cap, np.uint8)
         n = _lib().rans_encode_indexed(
@@ -166,6 +175,7 @@ class RansCodec:
 
     def decode(self, data: bytes, indexes: np.ndarray) -> np.ndarray:
         indexes = np.ascontiguousarray(indexes.reshape(-1), np.int32)
+        self._check_indexes(indexes)
         buf = np.frombuffer(data, np.uint8)
         buf = np.ascontiguousarray(buf)
         out = np.empty(indexes.size, np.int32)
@@ -178,6 +188,18 @@ class RansCodec:
                 "corrupt or truncated rANS stream (final-state check failed)"
             )
         return out
+
+    def _check_indexes(self, indexes: np.ndarray) -> None:
+        """The binding is the memory-safety boundary: an out-of-range CDF
+        row would make the C side read past cdfs/lut (segfault or garbage)
+        instead of raising."""
+        if indexes.size and (
+            indexes.min() < 0 or indexes.max() >= self.cdfs.shape[0]
+        ):
+            raise IndexError(
+                f"CDF row index out of range [0, {self.cdfs.shape[0]}): "
+                f"min={indexes.min()}, max={indexes.max()}"
+            )
 
     def stream_decoder(self, data: bytes) -> "RansStreamDecoder":
         """Incremental decoder over one continuous rANS state — for AR

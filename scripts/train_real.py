@@ -278,7 +278,9 @@ def main():
 
     ema_params = jax.tree.map(lambda p: p.astype(jnp.float32), state.params)
     t0 = time.time()
-    n_calls = args.steps // K
+    # round UP: steps // K would silently train 0 steps for steps < K (and
+    # drop the remainder otherwise) while still writing params/eval.json
+    n_calls = -(-args.steps // K)
     log_every = max(n_calls // 40, 1)
     for i in range(n_calls):
         state, ema_params, (loss, bpp, mse, aux) = multi_step(
@@ -303,6 +305,8 @@ def main():
     # ------------- eval: held-out image + train-set images -------------
     from lic_tpu.data.pad import pad_to_multiple
     from lic_tpu.training.loss import ms_ssim
+
+    _coder_cache = {}
 
     @jax.jit
     def fwd(params, xx, rate=None):
@@ -337,9 +341,14 @@ def main():
         try:
             from lic_tpu.models.compress import ChannelCoder
 
-            coder = ChannelCoder(
-                model, eval_params, name=args.preset, rate=rate
-            )
+            # one coder per (params, rate): rebuilding per image redoes the
+            # host CDF quantization + jit wrappers for identical state
+            ck = (id(eval_params), rate)
+            coder = _coder_cache.get(ck)
+            if coder is None:
+                coder = _coder_cache[ck] = ChannelCoder(
+                    model, eval_params, name=args.preset, rate=rate
+                )
             blob = coder.compress(x)
             r["bpp_real_bitstream"] = round(len(blob) * 8 / (h * w), 4)
             rec2 = np.asarray(coder.decompress(blob))
