@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_devices", type=int, default=None,
                    help="restrict the data-parallel mesh size")
+    p.add_argument("--coordinator_address", default=None,
+                   help="multi-host: host:port of process 0 "
+                        "(jax.distributed.initialize; same flags on every "
+                        "process, then the SAME mesh/pjit code spans the "
+                        "pod)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -45,9 +52,15 @@ def main(argv=None) -> None:
     from ..config import TrainConfig
     from ..data import ImageFolderDataset, train_iterator
     from ..models import build_model
-    from ..parallel import batch_sharding, make_mesh
+    from ..parallel import batch_sharding, initialize_multihost, make_mesh
     from ..training import train
     from ..utils.checkpoint import load_params, save_params
+
+    if args.coordinator_address or args.num_processes or args.process_id:
+        # must run before any other jax backend use on this process
+        initialize_multihost(
+            args.coordinator_address, args.num_processes, args.process_id
+        )
 
     model = build_model(
         args.preset, is_high=args.high, post_processing=args.post_processing

@@ -83,20 +83,29 @@ def _gdn_fused_bwd(inverse, interpret, res, g):
     c = shape[-1]
     x2 = x.reshape(-1, c)
     g2 = g.reshape(-1, c)
-    xsq = x2 * x2
-    n = xsq @ gamma.T + beta
+    # fp32 accumulation to MATCH the forward kernel (which computes the
+    # norm via preferred_element_type=fp32 + fp32 rsqrt): a bf16-rounded n
+    # feeds n^{-3/2}-sensitive terms and diverges cubically near beta_min
+    xsq = (x2 * x2).astype(jnp.float32)
+    g2 = g2.astype(jnp.float32)
+    x2 = x2.astype(jnp.float32)
+    n = (
+        jnp.dot(xsq, gamma.T.astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+        + beta.astype(jnp.float32)
+    )
     if inverse:
         sq = jnp.sqrt(n)
         # y = x·n^{1/2}; t_o = ½ g_o x_o n^{-1/2}
         t = 0.5 * g2 * x2 / sq
-        dx = g2 * sq + 2.0 * x2 * (t @ gamma)
+        dx = g2 * sq + 2.0 * x2 * (t @ gamma.astype(jnp.float32))
     else:
         rsq = jax.lax.rsqrt(n)
         t = -0.5 * g2 * x2 * rsq / n
-        dx = g2 * rsq + 2.0 * x2 * (t @ gamma)
-    dgamma = t.T @ xsq
-    dbeta = jnp.sum(t, axis=0)
-    return dx.reshape(shape), dgamma, dbeta
+        dx = g2 * rsq + 2.0 * x2 * (t @ gamma.astype(jnp.float32))
+    dgamma = (t.T @ xsq).astype(gamma.dtype)
+    dbeta = jnp.sum(t, axis=0).astype(beta.dtype)
+    return dx.reshape(shape).astype(x.dtype), dgamma, dbeta
 
 
 gdn_fused.defvjp(_gdn_fused_fwd, _gdn_fused_bwd)

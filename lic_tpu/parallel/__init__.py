@@ -1,5 +1,6 @@
-"""Multi-chip scaling: mesh construction and sharding rules."""
+"""Multi-chip scaling: mesh construction, sharding rules, multi-host."""
 
+from .distributed import global_mesh_info, initialize_multihost
 from .mesh import (
     make_mesh,
     batch_sharding,
@@ -9,6 +10,8 @@ from .mesh import (
 )
 
 __all__ = [
+    "global_mesh_info",
+    "initialize_multihost",
     "make_mesh",
     "batch_sharding",
     "replicated",

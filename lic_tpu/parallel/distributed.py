@@ -20,9 +20,16 @@ def initialize_multihost(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Connect this process to the multi-host cluster (idempotent-safe:
-    silently no-ops on single-process setups where env configuration is
-    absent)."""
+    """Connect this process to the multi-host cluster.
+
+    With NO explicit arguments this is idempotent-safe: a single-process
+    setup with no cluster env configuration no-ops.  With explicit
+    arguments a failure RE-RAISES — swallowing it would silently degrade
+    a pod launch into N independent single-host trainings (wrong global
+    batch, duplicate work, checkpoints overwriting each other)."""
+    explicit = any(
+        v is not None for v in (coordinator_address, num_processes, process_id)
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -30,6 +37,8 @@ def initialize_multihost(
             process_id=process_id,
         )
     except Exception:
+        if explicit:
+            raise
         # single-host run (no coordinator configured)
         pass
 

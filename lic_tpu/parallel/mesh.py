@@ -29,12 +29,38 @@ def make_mesh(
     shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
     """1-D data mesh by default; pass ``axis_names=('data','spatial')`` and
-    ``shape`` for a 2-D mesh."""
+    ``shape`` for a 2-D mesh.
+
+    Asking for more devices than exist raises (a silent clamp would train
+    on fewer chips than requested with no warning).  Multi-dimensional
+    meshes over real TPUs go through ``mesh_utils.create_device_mesh`` so
+    the axes respect the physical ICI topology (a naive reshape can place
+    a halo-exchange axis across DCN); the virtual CPU platform keeps the
+    deterministic reshape the tests rely on."""
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devices)} present"
+            )
         devices = devices[:n_devices]
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    if (
+        len(axis_names) > 1
+        and devices
+        and devices[0].platform not in ("cpu",)
+        and n_devices in (None, len(jax.devices()))
+    ):
+        try:
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_device_mesh(
+                tuple(shape), devices=devices
+            )
+            return Mesh(dev_array, axis_names)
+        except Exception:
+            pass  # fall back to the deterministic reshape
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axis_names)
 
