@@ -16,6 +16,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -23,6 +24,44 @@ import time
 import numpy as np
 
 BASELINE_MPS = 100.0
+
+# Held for the whole run; the fd must outlive main() or the lock drops.
+_TPU_LOCK_FD = None
+
+
+def _acquire_tpu_lock(path="rd_runs/tpu.lockfile", max_wait_s=2700):
+    """Serialize TPU ownership with the training-queue runner.
+
+    rd_runs/runner3.sh holds a flock on this file for the duration of each
+    queued job; a benchmark that starts mid-job would contend for the one
+    tunneled chip and corrupt both timings.  Wait (bounded) for the lock
+    instead.  Best-effort: any OS-level failure falls through to running
+    unlocked rather than failing the benchmark."""
+    global _TPU_LOCK_FD
+    try:
+        import fcntl
+
+        fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+        deadline = time.time() + max_wait_s
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                _TPU_LOCK_FD = fd
+                return
+            except OSError:
+                if time.time() > deadline:
+                    print(
+                        "bench: TPU lock still held after "
+                        f"{max_wait_s}s; proceeding unlocked",
+                        file=sys.stderr,
+                    )
+                    os.close(fd)
+                    return
+                print("bench: waiting for TPU lock (queue job running)",
+                      file=sys.stderr)
+                time.sleep(15)
+    except Exception:
+        pass
 
 
 def _measure(forward, params, x, iters=20):
@@ -91,6 +130,8 @@ def _bench_batch(batch, h, w):
 
 
 def main():
+    _acquire_tpu_lock()
+
     import jax
     import jax.numpy as jnp
 

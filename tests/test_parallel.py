@@ -123,3 +123,27 @@ def test_spatially_sharded_rich_swatten_clic_height():
         np.asarray(out_sharded), np.asarray(out_ref),
         rtol=5e-4, atol=5e-4,
     )
+
+
+def test_make_mesh_oversubscription_raises():
+    # a silent clamp would train on fewer chips than requested
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="requested"):
+        make_mesh(n_devices=n + 1)
+    # exact-count and 2-D shapes still construct
+    m = make_mesh(n_devices=n)
+    assert m.devices.size == n
+    if n >= 2:
+        m2 = make_mesh(axis_names=("data", "spatial"), shape=(n // 2, 2))
+        assert m2.devices.shape == (n // 2, 2)
+
+
+def test_initialize_multihost_explicit_spec_raises():
+    from lic_tpu.parallel import initialize_multihost
+
+    # incomplete explicit spec must re-raise (a swallowed failure would
+    # silently degrade a pod launch into N independent single-host runs)
+    with pytest.raises(Exception):
+        initialize_multihost("127.0.0.1:1", 2, None)
+    # bare call on a single-host setup is a no-op
+    initialize_multihost()
