@@ -129,8 +129,41 @@ def _bench_batch(batch, h, w):
         )
 
 
+def _probe_tpu(timeout_s=240):
+    """Bounded TPU availability check in a subprocess.
+
+    The image's sitecustomize points jax at the tunneled `axon` platform
+    and `jax.devices()` blocks FOREVER inside backend init while the
+    tunnel is down — an in-process check cannot time out.  Probing in a
+    killable child turns a would-be hang into a fast, honest failure."""
+    import subprocess
+
+    code = (
+        "import jax\n"
+        "assert jax.devices()[0].platform != 'cpu'\n"
+        "x = jax.numpy.zeros(8) + 1\n"
+        "assert float(x.sum()) == 8.0\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     _acquire_tpu_lock()
+    if not _probe_tpu():
+        print(
+            "bench: TPU unavailable (axon tunnel down) — refusing to hang "
+            "in backend init; no number is better than a fake one",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
     import jax
     import jax.numpy as jnp
