@@ -282,14 +282,19 @@ def main():
         blobs = coder.compress_batch(x)          # warmup/compile
         rec = coder.decompress_batch(blobs)
         _ = float(jnp.ravel(rec)[0])
+        # 5 repeats: the tunneled host occasionally stalls a roundtrip for
+        # hundreds of ms and the driver's recorded number swung 2.0-3.4
+        # across runs with median-of-3; median-of-5 rides out one stall,
+        # and the max documents the stall-free capability.
         vals = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             blobs = coder.compress_batch(x)
             rec = coder.decompress_batch(blobs)
             _ = float(jnp.ravel(rec)[0])
             vals.append(mp_batch / (time.perf_counter() - t0))
         extra["codec_mps"] = round(statistics.median(vals), 3)
+        extra["codec_mps_max"] = round(max(vals), 3)
         extra["codec_bpp"] = round(
             sum(len(b) for b in blobs) * 8 / (h * w * batch), 4
         )
