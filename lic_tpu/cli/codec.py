@@ -25,6 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight_path", required=True)
     p.add_argument("--preset", default="net_ga")
     p.add_argument("--high", action="store_true")
+    p.add_argument("--post_processing", action="store_true",
+                   help="build the model with the HAN post-processing tail "
+                        "(required for phase-2 checkpoints)")
     p.add_argument("--batch", type=int, default=8,
                    help="max images per device batch in directory mode")
     p.add_argument("--rate", type=float, default=None,
@@ -45,7 +48,9 @@ def main(argv=None) -> None:
     from ..models.compress import ChannelCoder
     from ..utils.checkpoint import load_params
 
-    model = build_model(args.preset, is_high=args.high)
+    model = build_model(
+        args.preset, is_high=args.high, post_processing=args.post_processing
+    )
     sample = jnp.zeros((1, 256, 256, 3), jnp.float32)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},

@@ -148,6 +148,11 @@ class ChannelCoder:
         self.params = params = jax.device_put(params)
         self.is_ns = cfg.family == "neural_syntax"
         self.name = name or f"{cfg.family}.{cfg.transform}.{cfg.hyper}.{cfg.context}"
+        # the HAN tail changes the reconstruction (not the bitstream) —
+        # surface it in the identity so a pp-encoded stream decoded by a
+        # non-pp coder fails loudly instead of reconstructing differently
+        if cfg.post_processing and not self.name.endswith("+pp"):
+            self.name += "+pp"
         if self.is_ns:
             self._init_neural_syntax()
             return
