@@ -38,6 +38,11 @@ def _acquire_tpu_lock(path="rd_runs/tpu.lockfile", max_wait_s=2700):
     instead.  Best-effort: any OS-level failure falls through to running
     unlocked rather than failing the benchmark."""
     global _TPU_LOCK_FD
+    if os.environ.get("LIC_TPU_LOCK_HELD"):
+        # the queue runner already wraps this process in a flock on the
+        # same file — a second acquire from this (child) process would
+        # block against our own parent until the timeout
+        return
     try:
         import fcntl
 
@@ -218,17 +223,17 @@ def main():
     # doesn't speak only for the lightest model.
     # ("source_net:high" = the reference's --high N=384/M=32 capacity,
     # model/net.py:446-453 — capacity changes the perf picture)
-    # ":pallas_attn" re-times the flagship with the fused window-attention
-    # kernel (WAM @128x192 is half its g_a bill — profile_ga) so one bench
-    # run settles the E2E A/B; NOTE each variant gets its OWN jitted
-    # function object (jit caches per function, and the pallas flag is
-    # read at trace time — sharing one fwd would silently reuse the first
-    # compile).
+    # The fused Pallas W-MSA kernel is the on-TPU DEFAULT (probe_attn_e2e:
+    # flagship forward 180.9 → 125.4 ms, 1.44×, relerr 0); ":xla_attn"
+    # re-times the flagship with it forced off so one bench run documents
+    # the delta.  NOTE each variant gets its OWN jitted function object
+    # (jit caches per function, and the pallas flag is read at trace
+    # time — sharing one fwd would silently reuse the first compile).
     from lic_tpu.layers.win_attention import set_pallas_attn
 
     for name in (
         "net_unet_ha_hs_dec",
-        "net_unet_ha_hs_dec:pallas_attn",
+        "net_unet_ha_hs_dec:xla_attn",
         "net_ga",
         "source_net:high",
     ):
@@ -248,14 +253,15 @@ def main():
                 o = m.apply({"params": p}, xx, training=False)
                 return o.x_tilde, o.bpp
 
-            set_pallas_attn(variant == "pallas_attn")
+            if variant == "xla_attn":
+                set_pallas_attn(False)
             try:
                 vals = [
                     mp_batch * iters / _measure(fwd2, p2, xb, iters)
                     for _ in range(3)
                 ]
             finally:
-                set_pallas_attn(False)
+                set_pallas_attn(None)  # restore platform auto-default
             key = name.replace(":", "_")
             extra[f"{key}_bf16_median"] = statistics.median(vals)
         except Exception as e:

@@ -21,18 +21,29 @@ from .blocks import ResidualBlock
 from .conv import Conv2d
 
 # Global switch for the fused Pallas W-MSA kernel (see layers/pallas_attn.py).
-# Toggle with `set_pallas_attn(True)` — on-TPU the fused path removes the
-# ~400 MB fp32 logits round trip and all head-split/window relayouts.
-_PALLAS_ATTN = {"enabled": False, "interpret": False}
+# Default None = AUTO: on iff the backend is a real TPU (probe_attn_e2e
+# measured the fused path at 1.44× on the full flagship forward — 180.9 →
+# 125.4 ms @512×768 b8 bf16, relerr 0 — the on-TPU path removes the ~400 MB
+# fp32 logits round trip and all head-split/window relayouts).  CPU (tests,
+# dryrun_multichip) resolves to the XLA path; `set_pallas_attn(True/False)`
+# overrides either way, `set_pallas_attn(None)` restores auto.
+_PALLAS_ATTN = {"enabled": None, "interpret": False}
 
 
-def set_pallas_attn(enabled: bool, interpret: bool = False) -> None:
+def set_pallas_attn(enabled, interpret: bool = False) -> None:
     _PALLAS_ATTN["enabled"] = enabled
     _PALLAS_ATTN["interpret"] = interpret
 
 
 def pallas_attn_enabled() -> bool:
-    return _PALLAS_ATTN["enabled"]
+    """Resolve the tri-state switch (trace-time, like every consumer)."""
+    enabled = _PALLAS_ATTN["enabled"]
+    if enabled is None:
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+    return bool(enabled)
 
 
 def window_partition(x: jax.Array, window_size: int) -> jax.Array:
@@ -240,7 +251,7 @@ class WinBasedAttention(nn.Module):
         # Fused path wins when there are enough windows to fill the grid;
         # at small spatial dims (e.g. the 32×48 latent WAMs) the XLA path
         # is marginally faster (measured), so gate by token count.
-        use_fused = _PALLAS_ATTN["enabled"] and hp * wp >= 4096
+        use_fused = pallas_attn_enabled() and hp * wp >= 4096
         if use_fused:
             from .pallas_attn import flatten_mask
 

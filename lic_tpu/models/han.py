@@ -64,17 +64,26 @@ class RCAB(nn.Module):
 
 
 class ResidualGroup(nn.Module):
-    """n×RCAB + conv3, residual (``han.py:201-215``)."""
+    """n×RCAB + conv3, residual (``han.py:201-215``).
+
+    ``remat=True`` checkpoints each RCAB: HAN runs at FULL image
+    resolution, so a group's 8–12 RCABs each pin several
+    (B, H, W, 64) fp32 temps during backward — at phase-2 training shapes
+    (batch 8, crop 256) that is ~8 GB per group and the train step OOMs.
+    Per-RCAB remat keeps only block boundaries live (forward-only use is
+    unaffected: ``jax.checkpoint`` changes nothing without a grad)."""
 
     features: int
     n_resblocks: int
     reduction: int = 16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
+        Block = nn.remat(RCAB) if self.remat else RCAB
         r = x
         for i in range(self.n_resblocks):
-            r = RCAB(self.features, self.reduction, name=f"rcab{i}")(r)
+            r = Block(self.features, self.reduction, name=f"rcab{i}")(r)
         r = Conv2d(
             self.features, kernel_size=3, padding=1,
             kernel_init=nn.initializers.zeros_init(), name="tail",
@@ -103,29 +112,61 @@ class LAMModule(nn.Module):
         return out.transpose(0, 2, 3, 1, 4).reshape(b, h, w, n * c)
 
 
+def _csam_conv3d(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """3×3×3 single-channel 3-D conv over the (C, H, W) volume, lowered
+    TPU-natively: NHWC stays put (C on the 128-lane axis) and the channel
+    (depth) taps become three zero-padded channel shifts, each applied as a
+    DEPTHWISE 3×3 conv whose per-channel kernels are the same (H, W) slice
+    tiled across C.
+
+    The naive NDHWC lowering carries a trailing feature dim of 1, which the
+    TPU layout pads to 128 lanes — a 128× memory blow-up (16 GB of HLO temp
+    at crop-256/batch-8 phase-2 training shapes; measured OOM).  This form
+    is mathematically identical: cross-correlation with padding 1 on all
+    three of (C, H, W), matching ``nn.Conv3d(1, 1, 3, padding=1)`` over the
+    reference's (1, C, H, W) volume (``han.py:140-176``).
+
+    kernel: (3, 3, 3) as (D, H, W) taps — ``out[c] = Σ_dd k[dd] ⊛ x[c+dd−1]``.
+    """
+    c = x.shape[-1]
+    out = None
+    for dd in range(3):
+        # channel shift: contribution of input channel c+dd−1 to output c
+        s = dd - 1
+        if s < 0:
+            xs = jnp.pad(x[..., :c + s], ((0, 0), (0, 0), (0, 0), (-s, 0)))
+        elif s > 0:
+            xs = jnp.pad(x[..., s:], ((0, 0), (0, 0), (0, 0), (0, s)))
+        else:
+            xs = x
+        k = jnp.tile(kernel[dd][:, :, None, None], (1, 1, 1, c)).astype(x.dtype)
+        g = lax.conv_general_dilated(
+            xs, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+        out = g if out is None else out + g
+    return out
+
+
 class CSAMModule(nn.Module):
     """Channel-spatial attention via a 1-channel 3-D conv over (C, H, W)
-    (``han.py:140-176``).  NHWC input → NDHWC conv with D = C."""
+    (``han.py:140-176``).  NHWC input; the conv lowers as channel-shifted
+    depthwise stencils (see :func:`_csam_conv3d`) so no singleton feature
+    dim ever reaches the TPU layout engine."""
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
         gamma = self.param("gamma", nn.initializers.zeros_init(), (1,))
-        # (B, D=C, H, W, 1)
-        vol = x.transpose(0, 3, 1, 2)[..., None]
         kernel = self.param(
             "conv", nn.initializers.xavier_uniform(), (3, 3, 3, 1, 1), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (1,))
-        g = lax.conv_general_dilated(
-            # cast like Conv2d/ConvTranspose2d do — raw fp32 params with
-            # bf16 activations would error only inside CSAM
-            vol, kernel.astype(vol.dtype), (1, 1, 1), [(1, 1)] * 3,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        ) + bias.astype(vol.dtype)
+        # cast like Conv2d/ConvTranspose2d do — raw fp32 params with
+        # bf16 activations would error only inside CSAM
+        g = _csam_conv3d(x, kernel[..., 0, 0]) + bias.astype(x.dtype)
         g = jax.nn.sigmoid(g)
         g = gamma * g
-        g = g[..., 0].transpose(0, 2, 3, 1)  # back to NHWC
         return x * g + x
 
 
@@ -139,6 +180,9 @@ class HANHead(nn.Module):
     is_high: bool = False
     n_feats: int = 64
     reduction: int = 32
+    # nested remat (group + per-RCAB) bounds backward memory at full image
+    # resolution; free for forward-only apply, so on by default
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -148,11 +192,13 @@ class HANHead(nn.Module):
         x = mean_shift(x, sign=-1)
         x = Conv2d(self.n_feats, kernel_size=3, padding=1, name="head")(x)
 
+        Group = nn.remat(ResidualGroup) if self.remat else ResidualGroup
         res = x
         stages = []
         for i in range(n_resgroups):
-            res = ResidualGroup(
-                self.n_feats, n_resblocks, self.reduction, name=f"group{i}"
+            res = Group(
+                self.n_feats, n_resblocks, self.reduction, remat=self.remat,
+                name=f"group{i}",
             )(res)
             stages.append(res)
         res = Conv2d(self.n_feats, kernel_size=3, padding=1, name="body_tail")(res)

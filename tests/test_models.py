@@ -57,6 +57,31 @@ class TestNeuralSyntaxFamily:
         assert "han" in v["params"]
         assert "conv_weights_gen_han" in v["params"]
 
+    def test_csam_stencil_matches_3d_conv(self):
+        """CSAM's TPU lowering (channel-shifted depthwise stencils, no
+        singleton lane dim) must equal the direct NDHWC 3-D conv it
+        replaced (the naive form OOM'd on TPU: f32[8,64,256,256,1] pads
+        128× under the (8,128) tile — 16 GB of HLO temp at phase-2 crop
+        256)."""
+        from jax import lax
+
+        from lic_tpu.models.han import _csam_conv3d
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 9, 11, 7)).astype(np.float32))
+        kernel = jnp.asarray(rng.normal(size=(3, 3, 3)).astype(np.float32))
+
+        got = _csam_conv3d(x, kernel)
+
+        vol = x.transpose(0, 3, 1, 2)[..., None]  # (B, D=C, H, W, 1)
+        want = lax.conv_general_dilated(
+            vol, kernel[..., None, None], (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )[..., 0].transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
 
 class TestCharmFamily:
     def test_classic_dual_hyper(self):
