@@ -293,14 +293,27 @@ class CodecModel(nn.Module):
             ig = ig[:, None, None, :]
         return g, ig
 
-    def _decode_tail(self, x_tilde, syntax_rounded, use_post_processing=True):
+    def _decode_tail(
+        self,
+        x_tilde,
+        syntax_rounded,
+        use_post_processing=True,
+        stop_base_grad=False,
+    ):
         """g_s output → RGB via the per-image generated conv (+ optional
         tanh + HAN post-processing).
 
         ``use_post_processing=False`` skips the HAN tail even when the
         model carries one — the reference's content-adaptive tuning loop
         sets ``net.post_processing = False`` for the duration of the
-        per-image encoder overfit (``eval_net.py:171``)."""
+        per-image encoder overfit (``eval_net.py:171``).
+
+        ``stop_base_grad=True`` cuts the gradient at the HAN input (the
+        two-phase HAN-only training, ``train_net_unet.py:125-134``): with
+        every base parameter frozen, torch autograd prunes the backward
+        below the HAN tail's inputs; under ``jax.grad`` the equivalent is
+        an explicit ``stop_gradient``, which also frees the entire
+        encoder/decoder/entropy backward's activation memory."""
         cfg = self.cfg
         if cfg.syntax != "none" and cfg.syntax_decoder:
             w = self.conv_weights_gen(syntax_rounded)
@@ -309,6 +322,9 @@ class CodecModel(nn.Module):
                 x_bf = jnp.tanh(x_bf)
         else:
             x_bf = x_tilde
+        if stop_base_grad:
+            x_bf = jax.lax.stop_gradient(x_bf)
+            syntax_rounded = jax.lax.stop_gradient(syntax_rounded)
         if cfg.post_processing and use_post_processing:
             feats = self.han(x_bf)
             w2 = self.conv_weights_gen_han(syntax_rounded)
@@ -325,16 +341,25 @@ class CodecModel(nn.Module):
         training: bool = True,
         use_post_processing: bool = True,
         rate=None,
+        stop_base_grad: bool = False,
     ) -> CodecOutput:
         """``rate``: continuous gain-unit index in [0, K−1]; only meaningful
-        when ``cfg.gain_units`` > 0 (None → index 0)."""
+        when ``cfg.gain_units`` > 0 (None → index 0).
+        ``stop_base_grad``: see :meth:`_decode_tail` (phase-2 HAN-only
+        training)."""
         if self.cfg.family == "neural_syntax":
-            return self._forward_neural_syntax(x, training, use_post_processing)
-        return self._forward_charm(x, training, use_post_processing, rate)
+            return self._forward_neural_syntax(
+                x, training, use_post_processing, stop_base_grad
+            )
+        return self._forward_charm(
+            x, training, use_post_processing, rate, stop_base_grad
+        )
 
     # ---------------------------------------------- neural syntax family
 
-    def _forward_neural_syntax(self, x, training, use_post_processing=True):
+    def _forward_neural_syntax(
+        self, x, training, use_post_processing=True, stop_base_grad=False
+    ):
         cfg = self.cfg
         N, M = cfg.N, cfg.M
         b, h, w, _ = x.shape
@@ -381,7 +406,9 @@ class CodecModel(nn.Module):
         syntax_lik = self.gm_syntax(syntax_in, sigma_s, mu_s)
 
         x_tilde = self.g_s(content_rounded)
-        x_tilde = self._decode_tail(x_tilde, syntax_rounded, use_post_processing)
+        x_tilde = self._decode_tail(
+            x_tilde, syntax_rounded, use_post_processing, stop_base_grad
+        )
 
         bpp_z = _bpp(z2_lik, num_pixels)
         bpp_y = _bpp(content_lik, num_pixels)
@@ -446,7 +473,14 @@ class CodecModel(nn.Module):
             means = self.h_mean_s(z_hat)
         return scales, means, z_lik, z_hat
 
-    def _forward_charm(self, x, training, use_post_processing=True, rate=None):
+    def _forward_charm(
+        self,
+        x,
+        training,
+        use_post_processing=True,
+        rate=None,
+        stop_base_grad=False,
+    ):
         cfg = self.cfg
         N, M = cfg.N, cfg.M
         b, h, w, _ = x.shape
@@ -513,7 +547,9 @@ class CodecModel(nn.Module):
         y_likelihoods = jnp.concatenate(y_liks, axis=-1)
 
         x_tilde = self.g_s(y_hat * inv_gain if inv_gain is not None else y_hat)
-        x_tilde = self._decode_tail(x_tilde, syntax_rounded, use_post_processing)
+        x_tilde = self._decode_tail(
+            x_tilde, syntax_rounded, use_post_processing, stop_base_grad
+        )
 
         bpp_y = _bpp(y_likelihoods, num_pixels)
         if z_lik is not None and cfg.count_hyper_bpp:

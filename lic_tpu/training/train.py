@@ -156,14 +156,26 @@ def make_train_step(
         out = model.apply(
             {"params": params}, batch, training=True, rngs={"noise": key},
             rate=rate,
+            # phase 2 trains the HAN tail only: cut the gradient at the
+            # HAN input (= torch's autograd pruning with the base frozen,
+            # train_net_unet.py:125-134) so no encoder/entropy backward is
+            # ever built — the rate term is a constant of the frozen base
+            stop_base_grad=post_processing_phase,
         )
         msssim_val = None
         if train_cfg.loss_type != "mse":
             msssim_val = ms_ssim(out.x_tilde, batch, data_range=2.0)
+        bpp = (
+            jax.lax.stop_gradient(out.bpp)
+            if post_processing_phase
+            else out.bpp
+        )
         loss = rate_distortion_loss(
-            out.bpp, out.mse, lmbda, train_cfg.loss_type, msssim_val
+            bpp, out.mse, lmbda, train_cfg.loss_type, msssim_val
         )
         aux = model.apply({"params": params}, method=CodecModel.entropy_aux_loss)
+        if post_processing_phase:
+            aux = jax.lax.stop_gradient(aux)
         total = loss + aux
         return total, {
             "loss": loss,

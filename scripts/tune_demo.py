@@ -49,9 +49,15 @@ def main():
     model = build_model(args.preset)
     img = load_image_uint8(HELD_OUT).astype(np.float32) / 127.5 - 1.0
     x = jnp.asarray(img[None])
+    # evaluate_image / finetune / ChannelCoder all pad internally, but
+    # model.init sees the raw tensor — a non-/64 image breaks the charm
+    # slice concat at trace time, so init on the padded shape
+    from lic_tpu.data.pad import pad_to_multiple
+
+    x_init, _ = pad_to_multiple(x)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-        x, training=True,
+        x_init, training=True,
     )
     params = load_params(args.ckpt, variables["params"])
     ec = EvalConfig(lmbda=args.lmbda, tune_iters=args.tune_iter)

@@ -197,7 +197,12 @@ class TestTrainStep:
         model, tc, opt, x, state = _tiny_setup(post_processing=True)
         masked = freeze_partition(opt, state.params, post_processing=True)
         state = create_state(model, masked, x, seed=0)
-        step = jax.jit(make_train_step(model, tc, masked))
+        # post_processing_phase=True also severs the gradient at the HAN
+        # input (stop_base_grad) — HAN must STILL receive gradient through
+        # its stop-gradded inputs, base params must stay untouched
+        step = jax.jit(
+            make_train_step(model, tc, masked, post_processing_phase=True)
+        )
         p0 = state.params
         state, _ = step(state, x)
         # base params untouched, HAN params moved
