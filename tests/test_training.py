@@ -217,6 +217,26 @@ class TestTrainStep:
         )
         assert han_moved
 
+    def test_phase2_base_gradient_is_structurally_zero(self):
+        """stop_base_grad must make the phase-2 backward independent of the
+        base network — grads wrt g_a are EXACTLY zero (not merely masked by
+        the frozen optimizer), grads reach the HAN tail."""
+        model, tc, opt, x, state = _tiny_setup(post_processing=True)
+
+        def loss(params):
+            out = model.apply(
+                {"params": params}, x, training=True,
+                rngs={"noise": jax.random.PRNGKey(0)},
+                stop_base_grad=True,
+            )
+            return 0.01 * 255 ** 2 * out.mse
+
+        grads = jax.grad(loss)(state.params)
+        for leaf in jax.tree.leaves(grads["g_a"]):
+            np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+        han_leaves = jax.tree.leaves(grads["han"])
+        assert any(float(np.abs(np.asarray(g)).max()) > 0 for g in han_leaves)
+
 
 class TestDataParallel:
     def test_train_step_on_8_device_mesh(self):
