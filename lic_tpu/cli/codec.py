@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rate", type=float, default=None,
                    help="gain-unit rate index (variable-rate presets; "
                         "continuous, e.g. 1.5 interpolates units 1 and 2)")
+    p.add_argument("--target_bpp", type=float, default=None,
+                   help="solve the gain-unit rate for this bitrate per "
+                        "image (variable-rate presets; bisection on the "
+                        "estimated bpp — overrides --rate)")
     return p
 
 
@@ -62,14 +66,21 @@ def main(argv=None) -> None:
     import os
 
     if os.path.isdir(args.input):
-        _run_dir(args, coder)
+        _run_dir(args, coder, model, params)
         return
 
     if args.command == "compress":
         img = load_image_uint8(args.input).astype(np.float32) / 127.5 - 1.0
         x = jnp.asarray(img[None])
         h, w = img.shape[:2]
-        blob = coder.compress(x)  # pads to /64 internally
+        rate = None
+        if args.target_bpp is not None:
+            from ..serving.rate_control import solve_rate_for_bpp
+
+            rate, est = solve_rate_for_bpp(model, params, x, args.target_bpp)
+            print(f"target {args.target_bpp} bpp → rate {rate:.3f} "
+                  f"(estimated {est:.4f} bpp)")
+        blob = coder.compress(x, rate=rate)  # pads to /64 internally
         with open(args.output, "wb") as fd:
             fd.write(blob)
         bpp = len(blob) * 8 / (h * w)
@@ -85,7 +96,7 @@ def main(argv=None) -> None:
         print(f"{args.input} → {args.output}: {img.shape[1]}x{img.shape[0]}")
 
 
-def _run_dir(args, coder) -> None:
+def _run_dir(args, coder, model=None, params=None) -> None:
     """Directory batch mode: size-bucketed batched device pipeline."""
     import os
     from collections import defaultdict
@@ -115,12 +126,27 @@ def _run_dir(args, coder) -> None:
         for (h, w), items in buckets.items():
             for i in range(0, len(items), max(1, args.batch)):
                 chunk = items[i : i + max(1, args.batch)]
+                rates = None
+                if args.target_bpp is not None:
+                    from ..serving.rate_control import solve_rate_for_bpp
+
+                    rates = [
+                        solve_rate_for_bpp(
+                            model, params, jnp.asarray(im[None]),
+                            args.target_bpp,
+                        )[0]
+                        for _, im in chunk
+                    ]
                 if batched and len(chunk) > 1:
                     xs = jnp.asarray(np.stack([im for _, im in chunk]))
-                    blobs = coder.compress_batch(xs)
+                    blobs = coder.compress_batch(xs, rates=rates)
                 else:
                     blobs = [
-                        coder.compress(jnp.asarray(im[None])) for _, im in chunk
+                        coder.compress(
+                            jnp.asarray(im[None]),
+                            rate=None if rates is None else rates[k],
+                        )
+                        for k, (_, im) in enumerate(chunk)
                     ]
                 for (n, _), blob in zip(chunk, blobs):
                     out = os.path.join(

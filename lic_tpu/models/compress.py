@@ -436,17 +436,27 @@ class ChannelCoder:
 
     # ------------------------------------------------------------- encode
 
-    def compress(self, x: jax.Array) -> bytes:
+    def compress(self, x: jax.Array, rate: Optional[float] = None) -> bytes:
         """x: (1, H, W, 3) in [−1, 1] — any size; padded to /64 internally
-        and the original size is carried in the header."""
+        and the original size is carried in the header.
+
+        ``rate``: per-call gain-unit rate index overriding the coder's
+        default (gain-unit models only) — e.g. the output of
+        ``serving.rate_control.solve_rate_for_bpp``.  It rides the
+        bitstream header, so decoding needs no matching coder state."""
         cfg = self.model.cfg
+        if rate is not None and not self.has_gain:
+            raise ValueError(
+                "rate= was given but this model has no gain units"
+            )
+        r = self.rate if rate is None else float(rate)
         b, h, w, _ = x.shape
         assert b == 1, "one image per bitstream"
         x, _ = pad_to_multiple(x, 64)
         if self.is_ns:
             return self._compress_ns(x, h, w)
 
-        z3 = self._analyze(x, jnp.float32(self.rate))
+        z3 = self._analyze(x, jnp.float32(r))
         # symbols are rounded ON DEVICE so they match the jitted forward's
         # ste_round bit-for-bit (host numpy fp32 can round differently at
         # .5 boundaries); the decoder reconstructs z_hat/y_hat from the same
@@ -461,7 +471,7 @@ class ChannelCoder:
             syntax = np.zeros((0,), np.int16)
 
         blob_y = self._charm_encode_streams(z_hat, z3)[0]
-        return self._pack(h, w, syntax, z_blob, [blob_y])
+        return self._pack(h, w, syntax, z_blob, [blob_y], rate=r)
 
     def _charm_step_counts(self, hy: int, wy: int) -> List[int]:
         """Per-step symbol counts in decode order of the lane split: one
