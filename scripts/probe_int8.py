@@ -78,16 +78,19 @@ def main():
         i8 = jax.jit(
             lambda x, k: conv(x, k, stride, jnp.int32).astype(jnp.float32) * sc
         )
-        t_bf = timeit(bf, x_bf, k_bf)
-        t_i8 = timeit(i8, x_i8, k_i8)
         flop = 2 * b * (h // stride) * (w // stride) * kk * kk * c * c
-        results[tag] = {
-            "bf16_ms": round(t_bf, 3),
-            "int8_ms": round(t_i8, 3),
-            "bf16_tfs": round(flop / t_bf / 1e9, 1),
-            "int8_tops": round(flop / t_i8 / 1e9, 1),
-            "speedup": round(t_bf / t_i8, 3),
-        }
+        try:
+            t_bf = timeit(bf, x_bf, k_bf)
+            t_i8 = timeit(i8, x_i8, k_i8)
+            results[tag] = {
+                "bf16_ms": round(t_bf, 3),
+                "int8_ms": round(t_i8, 3),
+                "bf16_tfs": round(flop / t_bf / 1e9, 1),
+                "int8_tops": round(flop / t_i8 / 1e9, 1),
+                "speedup": round(t_bf / t_i8, 3),
+            }
+        except Exception as e:  # unsupported lowering — record, keep going
+            results[tag] = {"error": f"{type(e).__name__}: {e}"[:200]}
         print(tag, results[tag], flush=True)
 
     # MXU ceiling at matched FLOPs: (M, K) x (K, N) dot
@@ -101,14 +104,17 @@ def main():
                      jnp.asarray(np.clip(np.round(b_f * 16), -127, 127), jnp.int8),
                      jnp.int32),
     }.items():
-        f = jax.jit(lambda x, y: lax.dot_general(
+        f = jax.jit(lambda x, y, acc=acc: lax.dot_general(
             x, y, (((1,), (0,)), ((), ())), preferred_element_type=acc
         ))
-        t = timeit(f, aa, bb)
-        results[tag] = {
-            "ms": round(t, 3),
-            "tops": round(2 * m * k_ * n / t / 1e9, 1),
-        }
+        try:
+            t = timeit(f, aa, bb)
+            results[tag] = {
+                "ms": round(t, 3),
+                "tops": round(2 * m * k_ * n / t / 1e9, 1),
+            }
+        except Exception as e:
+            results[tag] = {"error": f"{type(e).__name__}: {e}"[:200]}
         print(tag, results[tag], flush=True)
 
     import json
