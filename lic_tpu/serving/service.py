@@ -123,12 +123,25 @@ class CodecService:
 
     # ------------------------------------------------------------ admit
 
-    def submit_compress(self, image: np.ndarray) -> Future:
-        """image: (H, W, 3) float32 in [−1, 1].  → Future[bytes]."""
+    def submit_compress(
+        self, image: np.ndarray, rate: Optional[float] = None
+    ) -> Future:
+        """image: (H, W, 3) float32 in [−1, 1].  → Future[bytes].
+
+        ``rate``: per-request gain-unit rate index (variable-rate models;
+        e.g. from ``rate_control.solve_rate_for_bpp``) — mixed rates share
+        a batch, the gains broadcast per image on device."""
         img = np.asarray(image, np.float32)
         if img.ndim != 3 or img.shape[-1] != 3:
             raise ValueError(f"expected (H, W, 3) image, got {img.shape}")
-        return self._enqueue(("c", img.shape[0], img.shape[1]), _Req("c", img))
+        if rate is not None and not self.coder.has_gain:
+            raise ValueError(
+                "rate= was given but this model has no gain units"
+            )
+        return self._enqueue(
+            ("c", img.shape[0], img.shape[1]),
+            _Req("c", (img, None if rate is None else float(rate))),
+        )
 
     def submit_decompress(self, blob: bytes) -> Future:
         """blob: one bitstream from this codec.  → Future[np.ndarray]."""
@@ -263,15 +276,28 @@ class CodecService:
         pad = self.max_batch - n if batched else 0
         try:
             if kind == "c":
+                imgs = [r.payload[0] for r in batch]
+                rates = [r.payload[1] for r in batch]
                 if batched:
-                    payloads = [r.payload for r in batch]
-                    payloads += [payloads[-1]] * pad
-                    xs = self._to_device(np.stack(payloads))
-                    blobs = self.coder.compress_batch(xs)[:n]
+                    imgs += [imgs[-1]] * pad
+                    rates += [rates[-1]] * pad
+                    xs = self._to_device(np.stack(imgs))
+                    if any(rr is not None for rr in rates):
+                        # mixed rate/None inside one batch: None means the
+                        # coder's default operating point
+                        rates = [
+                            self.coder.rate if rr is None else rr
+                            for rr in rates
+                        ]
+                        blobs = self.coder.compress_batch(xs, rates=rates)[:n]
+                    else:
+                        blobs = self.coder.compress_batch(xs)[:n]
                 else:
                     blobs = [
-                        self.coder.compress(self._to_device(r.payload[None]))
-                        for r in batch
+                        self.coder.compress(
+                            self._to_device(im[None]), rate=rr
+                        )
+                        for im, rr in zip(imgs, rates)
                     ]
                 for r, b in zip(batch, blobs):
                     self._resolve(r, b)

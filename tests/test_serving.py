@@ -63,6 +63,38 @@ class TestCodecService:
         finally:
             svc.stop()
 
+    def test_per_request_rates_share_a_batch(self, model_and_params):
+        """Variable-rate service: requests at different gain-unit rates
+        batch together; each stream carries its own rate and decodes to
+        the matching operating point (low rate → fewer bytes)."""
+        model = CodecModel(TINY.replace(gain_units=4, gain_span=4.0))
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            x, training=True,
+        )
+        svc = CodecService(model, v["params"], max_batch=2, max_wait_ms=20).start()
+        try:
+            img = _imgs(1, 64, 64, seed=3)[0]
+            futs = [
+                svc.submit_compress(img, rate=0.0),
+                svc.submit_compress(img, rate=3.0),
+            ]
+            lo, hi = (f.result(timeout=600) for f in futs)
+            assert len(lo) < len(hi)
+            for blob in (lo, hi):
+                rec = svc.submit_decompress(blob).result(timeout=600)
+                assert rec.shape == (64, 64, 3)
+            assert svc.stats.snapshot()["errors"] == 0
+        finally:
+            svc.stop()
+
+    def test_rate_on_gain_free_model_rejected(self, model_and_params):
+        model, params = model_and_params
+        svc = CodecService(model, params)
+        with pytest.raises(ValueError, match="gain units"):
+            svc.submit_compress(_imgs(1, 64, 64)[0], rate=1.0)
+
     def test_mixed_sizes_bucket_separately(self, model_and_params):
         model, params = model_and_params
         svc = CodecService(model, params, max_batch=4, max_wait_ms=5).start()
