@@ -1,0 +1,30 @@
+#!/bin/bash
+# Round-boundary bootstrap: the driver's VM reset purges rd_runs/*/params.npz
+# (checkpoints are kept out of git — see rd_runs/STATUS.md).  This script
+# refills the queue with the value-first recovery jobs and starts the runner.
+#
+#   bash scripts/bootstrap_round.sh
+#
+# Safe to re-run: it only prepends jobs whose checkpoint is missing, and
+# refuses to start a second runner.
+cd "$(dirname "$0")/.." || exit 1
+Q=rd_runs/queue.txt
+
+if [ ! -f rd_runs/v2_src_0.0130/params.npz ]; then
+  grep -q "out rd_runs/v2_src_0.0130$" "$Q" 2>/dev/null || {
+    printf '%s\n' \
+      "python scripts/train_real.py --preset source_net --lmbda 0.0130 --steps 20000 --out rd_runs/v2_src_0.0130" \
+      "python bench.py" \
+      | cat - "$Q" 2>/dev/null > "$Q.tmp" && mv "$Q.tmp" "$Q"
+    echo "queued bench-checkpoint regen (bench.py falls back to random init without it)"
+  }
+fi
+
+if pgrep -x flock >/dev/null 2>&1 || { [ -f /tmp/runner.pid ] && kill -0 "$(cat /tmp/runner.pid)" 2>/dev/null; }; then
+  echo "runner already active (pid $(cat /tmp/runner.pid 2>/dev/null))"
+else
+  rm -f rd_runs/STOP
+  nohup bash rd_runs/runner5.sh >/dev/null 2>&1 &
+  echo $! > /tmp/runner.pid
+  echo "runner5 started (pid $(cat /tmp/runner.pid)); log: rd_runs/chain7.log"
+fi

@@ -44,9 +44,12 @@ def main():
             f"| {r['psnr']} | {r['msssim']} |"
         )
 
+    # jpeg_anchor imports jax for MS-SSIM; pin it to CPU so assembling the
+    # table never contends with (or hangs on) the tunneled TPU chip.
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "jpeg_anchor.py")],
         capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
     if out.returncode == 0:
         j = json.loads(out.stdout)
