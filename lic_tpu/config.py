@@ -160,6 +160,14 @@ class EvalConfig:
     tune_lr: float = 1e-5
     tune_lr_drop_step: int = 50
     tune_lr_gamma: float = 0.5
+    # Tune loss scaling.  True (default) = train-consistent λ·255²·mse + bpp.
+    # False reproduces the reference's literal ``λ·mse + bpp``
+    # (``eval_net.py:176``) — SURVEY defect §8.13: without the 255² factor
+    # distortion is weighted ~65,000× less than during training, so the
+    # per-image overfit crushes rate and DESTROYS quality (measured −8.8 dB
+    # on the held-out image, rd_runs/v2_src_0.0130_tune round 3).  Kept only
+    # as a literal-semantics escape hatch, like count_hyper_bpp for §8.7.
+    tune_loss_255sq: bool = True
     # gain-unit operating point for variable-rate checkpoints (continuous
     # rate index; None = the model default, unit 0)
     rate: Optional[float] = None

@@ -96,11 +96,14 @@ def content_adaptive_finetune(
     x_pm1: jax.Array,
     eval_cfg: EvalConfig = EvalConfig(),
 ) -> Any:
-    """Per-image encoder overfit: ``tune_iters`` Adam steps on
-    ``λ·mse + bpp`` updating ONLY the analysis transform (g_a), lr 1e-5
-    halved at step 50 — the reference's pre-processing branch
-    (``eval_net.py:118-199``; note it uses λ·mse without the 255² factor,
-    :176 — reproduced).  Post-processing is bypassed during tuning
+    """Per-image encoder overfit: ``tune_iters`` Adam steps on the
+    train-consistent ``λ·255²·mse + bpp`` updating ONLY the analysis
+    transform (g_a), lr 1e-5 halved at step 50 — the reference's
+    pre-processing branch (``eval_net.py:118-199``).  The reference's
+    literal loss drops the 255² factor (``eval_net.py:176``) — SURVEY
+    defect §8.13, measured to cost −8.8 dB — and is available behind
+    ``EvalConfig.tune_loss_255sq=False``.  Post-processing is bypassed
+    during tuning
     (``net.post_processing = False``, ``eval_net.py:171``): the tune loss
     passes ``use_post_processing=False`` so g_a trains against the
     pre-HAN reconstruction even on a ``post_processing=True`` model."""
@@ -114,6 +117,7 @@ def content_adaptive_finetune(
         eval_cfg.tune_lr_drop_step,
         eval_cfg.tune_lr_gamma,
         eval_cfg.rate,
+        eval_cfg.tune_loss_255sq,
     )
     opt_state = opt.init(params)
 
@@ -126,7 +130,7 @@ def content_adaptive_finetune(
 
 @functools.lru_cache(maxsize=16)
 def _tune_step_cached(
-    model, shape, lmbda, tune_lr, drop_step, gamma, rate
+    model, shape, lmbda, tune_lr, drop_step, gamma, rate, loss_255sq=True
 ):
     """Build (optimizer, jitted tune step) once per (model, padded shape,
     tune hyper-params): jax.jit caches by function identity, so defining
@@ -150,13 +154,17 @@ def _tune_step_cached(
         {"tune": optax.adam(sched), "freeze": optax.set_to_zero()}, labels
     )
 
+    # train-consistent distortion weight by default; the literal reference
+    # λ·mse (eval_net.py:176, defect §8.13) only behind loss_255sq=False
+    d_scale = 255.0 ** 2 if loss_255sq else 1.0
+
     def loss_fn(p, key, x):
         out = model.apply(
             {"params": p}, x, training=True,
             use_post_processing=False, rngs={"noise": key},
             rate=None if rate is None else jnp.float32(rate),
         )
-        return lmbda * out.mse + out.bpp
+        return lmbda * d_scale * out.mse + out.bpp
 
     @jax.jit
     def step(p, opt_state, key, x):

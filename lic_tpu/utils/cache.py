@@ -13,6 +13,8 @@ def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
     if path is None:
+        path = os.environ.get("LIC_TPU_CACHE_DIR")
+    if path is None:
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)

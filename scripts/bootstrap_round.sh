@@ -5,26 +5,40 @@
 #
 #   bash scripts/bootstrap_round.sh
 #
-# Safe to re-run: it only prepends jobs whose checkpoint is missing, and
-# refuses to start a second runner.
+# Safe to re-run: it only prepends jobs whose checkpoint is missing, refuses
+# to start a second runner, and never touches the queue while a runner is
+# draining it (runner5.sh mutates queue.txt concurrently via sed -i and its
+# requeue cat/mv — editing it here would lose or duplicate jobs).
 cd "$(dirname "$0")/.." || exit 1
 Q=rd_runs/queue.txt
 
-if [ ! -f rd_runs/v2_src_0.0130/params.npz ]; then
-  grep -q "out rd_runs/v2_src_0.0130$" "$Q" 2>/dev/null || {
-    printf '%s\n' \
-      "python scripts/train_real.py --preset source_net --lmbda 0.0130 --steps 20000 --out rd_runs/v2_src_0.0130" \
-      "python bench.py" \
-      | cat - "$Q" 2>/dev/null > "$Q.tmp" && mv "$Q.tmp" "$Q"
-    echo "queued bench-checkpoint regen (bench.py falls back to random init without it)"
-  }
+runner_active() {
+  pgrep -x flock >/dev/null 2>&1 ||
+    { [ -f /tmp/runner.pid ] && kill -0 "$(cat /tmp/runner.pid)" 2>/dev/null; }
+}
+
+touch "$Q"
+
+if runner_active; then
+  echo "runner already active (pid $(cat /tmp/runner.pid 2>/dev/null)) — queue left untouched"
+  exit 0
 fi
 
-if pgrep -x flock >/dev/null 2>&1 || { [ -f /tmp/runner.pid ] && kill -0 "$(cat /tmp/runner.pid)" 2>/dev/null; }; then
-  echo "runner already active (pid $(cat /tmp/runner.pid 2>/dev/null))"
-else
-  rm -f rd_runs/STOP
-  nohup bash rd_runs/runner5.sh >/dev/null 2>&1 &
-  echo $! > /tmp/runner.pid
-  echo "runner5 started (pid $(cat /tmp/runner.pid)); log: rd_runs/chain7.log"
+if [ ! -f rd_runs/v2_src_0.0130/params.npz ]; then
+  if ! grep -q "out rd_runs/v2_src_0.0130$" "$Q"; then
+    printf '%s\n' \
+      "python scripts/train_real.py --preset source_net --lmbda 0.0130 --steps 20000 --out rd_runs/v2_src_0.0130" \
+      | cat - "$Q" > "$Q.tmp" && mv "$Q.tmp" "$Q"
+    echo "queued bench-checkpoint regen (bench.py falls back to random init without it)"
+  fi
+  if ! grep -qx "python bench.py" "$Q"; then
+    # insert bench right after the regen job (line 1)
+    sed -i '1a python bench.py' "$Q"
+    echo "queued bench.py after the regen"
+  fi
 fi
+
+rm -f rd_runs/STOP
+nohup bash rd_runs/runner5.sh >/dev/null 2>&1 &
+echo $! > /tmp/runner.pid
+echo "runner5 started (pid $(cat /tmp/runner.pid)); log: rd_runs/chain7.log"

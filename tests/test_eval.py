@@ -127,6 +127,53 @@ class TestTuneBypassesHan:
         assert ga_nonzero
 
 
+class TestTuneLossScaling:
+    """The tune loss defaults to the train-consistent ``λ·255²·mse + bpp``.
+
+    The reference's literal ``λ·mse + bpp`` (``eval_net.py:176``, SURVEY
+    defect §8.13) under-weights distortion ~65,000× and measurably destroys
+    quality (−8.8 dB held-out, round 3); it stays available only behind
+    ``EvalConfig(tune_loss_255sq=False)``."""
+
+    def _loss_from_step(self, m, params, x, loss_255sq):
+        from lic_tpu.evaluation.eval import _tune_step_cached
+
+        cfg = EvalConfig()
+        opt, step = _tune_step_cached(
+            m, x.shape, cfg.lmbda, cfg.tune_lr, cfg.tune_lr_drop_step,
+            cfg.tune_lr_gamma, None, loss_255sq,
+        )
+        _, _, _, loss = step(params, opt.init(params), jax.random.PRNGKey(0), x)
+        return float(loss)
+
+    def _expected(self, m, params, x, scale):
+        _, sub = jax.random.split(jax.random.PRNGKey(0))
+        out = m.apply(
+            {"params": params}, x, training=True, use_post_processing=False,
+            rngs={"noise": sub},
+        )
+        return float(EvalConfig().lmbda * scale * out.mse + out.bpp)
+
+    def test_default_is_train_consistent_255sq(self):
+        assert EvalConfig().tune_loss_255sq is True
+        m, params = _model_and_params()
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+        got = self._loss_from_step(m, params, x, True)
+        np.testing.assert_allclose(
+            got, self._expected(m, params, x, 255.0 ** 2), rtol=1e-5
+        )
+
+    def test_literal_reference_loss_behind_flag(self):
+        m, params = _model_and_params()
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+        got = self._loss_from_step(m, params, x, False)
+        np.testing.assert_allclose(
+            got, self._expected(m, params, x, 1.0), rtol=1e-5
+        )
+
+
 class TestContentAdaptiveFinetune:
     def test_only_ga_moves_and_loss_improves(self):
         m, params = _model_and_params()
