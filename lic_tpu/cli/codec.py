@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="solve the gain-unit rate for this bitrate per "
                         "image (variable-rate presets; bisection on the "
                         "estimated bpp — overrides --rate)")
+    p.add_argument("--progressive", action="store_true",
+                   help="scalable trit-plane bitstream (ChARM presets): "
+                        "one stream decodes at every plane-boundary "
+                        "truncation (lic_tpu.models.progressive)")
+    p.add_argument("--truncate_planes", type=int, default=None,
+                   help="decompress using at most this many trit planes "
+                        "(progressive streams; slice-major count)")
     return p
 
 
@@ -61,10 +68,18 @@ def main(argv=None) -> None:
         sample, training=True,
     )
     params = load_params(args.weight_path, variables["params"])
-    coder = ChannelCoder(model, params, name=args.preset, rate=args.rate)
+    if args.progressive:
+        from ..models.progressive import ProgressiveCoder
+
+        coder = ProgressiveCoder(model, params, name=args.preset)
+    else:
+        coder = ChannelCoder(model, params, name=args.preset, rate=args.rate)
 
     import os
 
+    if args.progressive and not os.path.isdir(args.input):
+        _run_progressive(args, coder)
+        return
     if os.path.isdir(args.input):
         _run_dir(args, coder, model, params)
         return
@@ -94,6 +109,42 @@ def main(argv=None) -> None:
         img = np.clip((rec + 1.0) * 127.5, 0, 255).astype(np.uint8)
         Image.fromarray(img).save(args.output)
         print(f"{args.input} → {args.output}: {img.shape[1]}x{img.shape[0]}")
+
+
+def _run_progressive(args, coder) -> None:
+    """Single-file progressive compress/decompress (.ltcp streams)."""
+    import numpy as np
+
+    from ..data.datasets import load_image_uint8
+
+    if args.command == "compress":
+        import jax.numpy as jnp
+
+        img = load_image_uint8(args.input).astype(np.float32) / 127.5 - 1.0
+        x = jnp.asarray(img[None])
+        blob = coder.compress(x)
+        with open(args.output, "wb") as fd:
+            fd.write(blob)
+        h, w = img.shape[:2]
+        pts = coder.truncation_points(blob)
+        print(
+            f"{args.input} → {args.output}: {len(blob)} bytes "
+            f"({len(blob) * 8 / (h * w):.4f} bpp), {pts[-1][0]} planes; "
+            "truncation points (planes → bpp): "
+            + ", ".join(f"{p}→{b * 8 / (h * w):.3f}" for p, b in pts)
+        )
+    else:
+        from PIL import Image
+
+        with open(args.input, "rb") as fd:
+            blob = fd.read()
+        rec = np.asarray(coder.decompress(blob, max_planes=args.truncate_planes))[0]
+        img = np.clip((rec + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        Image.fromarray(img).save(args.output)
+        tag = "" if args.truncate_planes is None else (
+            f" (truncated to {args.truncate_planes} planes)"
+        )
+        print(f"{args.input} → {args.output}: {img.shape[1]}x{img.shape[0]}{tag}")
 
 
 def _run_dir(args, coder, model=None, params=None) -> None:
