@@ -66,6 +66,49 @@ def _segment_mats(nh: int, n: int) -> tuple[np.ndarray, np.ndarray]:
     return seg_sum, seg_sum.T.copy()
 
 
+def _attend_window(
+    w, rel, kmask, vmask, seg_sum, seg_bcast, mask_j, *, n, nh, c
+):
+    """One window's fused attention body: (n, 3c) qkv → (n, c) output.
+
+    Shared by the plain and the fused-projection kernels.  Segment softmax
+    over each n-wide head segment: the shift must be PER-HEAD — a global
+    row max is algebraically valid but a head whose logits sit ~90 below
+    another head's would underflow its whole exp segment to 0 and divide
+    by zero (rel-pos biases are unbounded under training).  nh static
+    slice-maxes make an (n, nh) vector; one 0/1 matmul broadcasts it back
+    per segment (cheaper than nh broadcast+concat at (n, n) each)."""
+    cdt = w.dtype
+    scale = (c // nh) ** -0.5
+    q = w[:, :c] * jnp.asarray(scale, cdt)
+    k = w[:, c : 2 * c]
+    v = w[:, 2 * c :]
+
+    # K'[cc, h·n+m] = kT[cc, m]·[head(cc)=h]; L = q @ K' → (n, nh·n)
+    kp = jnp.tile(k.T, (1, nh)) * kmask
+    logits = jnp.dot(q, kp, preferred_element_type=jnp.float32)
+    logits = logits + rel
+    if mask_j is not None:
+        logits = logits + mask_j.astype(jnp.float32)
+
+    maxvec = jnp.concatenate(
+        [
+            jnp.max(logits[:, h * n : (h + 1) * n], axis=-1, keepdims=True)
+            for h in range(nh)
+        ],
+        axis=-1,
+    )  # (n, nh)
+    rowmax = jnp.dot(maxvec, seg_bcast, preferred_element_type=jnp.float32)
+    ex = jnp.exp(logits - rowmax)  # (n, nh·n)
+    denom = jnp.dot(ex, seg_sum, preferred_element_type=jnp.float32)
+    inv = jnp.dot(1.0 / denom, seg_bcast, preferred_element_type=jnp.float32)
+    probs = (ex * inv).astype(cdt)
+
+    # V'[h·n+m, cc] = v[m, cc]·[head(cc)=h]; O = probs @ V' → (n, c)
+    vp = jnp.tile(v, (nh, 1)) * vmask
+    return jnp.dot(probs, vp, preferred_element_type=jnp.float32)
+
+
 def _wba_kernel(
     qkv_ref,
     rel_ref,
@@ -84,11 +127,8 @@ def _wba_kernel(
 ):
     """One (window-row, W-tile, batch-element) strip of fused W-MSA."""
     n = ws * ws
-    hd = c // nh
-    scale = hd ** -0.5
     strip = qkv_ref[0]  # (ws, tw·ws, 3c)
     rel = rel_ref[:]  # (n, nh·n) fp32
-    cdt = strip.dtype
 
     kmask = kmask_ref[:]
     vmask = vmask_ref[:]
@@ -97,55 +137,91 @@ def _wba_kernel(
 
     for j in range(tw):
         w = strip[:, j * ws : (j + 1) * ws, :].reshape(n, 3 * c)
-        q = w[:, :c] * jnp.asarray(scale, cdt)
-        k = w[:, c : 2 * c]
-        v = w[:, 2 * c :]
-
-        # K'[cc, h·n+m] = kT[cc, m]·[head(cc)=h]; L = q @ K' → (n, nh·n)
-        kp = jnp.tile(k.T, (1, nh)) * kmask
-        logits = jnp.dot(q, kp, preferred_element_type=jnp.float32)
-        logits = logits + rel
-        if has_mask:
-            logits = logits + mask_ref[0, j].astype(jnp.float32)
-
-        # segment softmax over each n-wide head segment.  The shift must be
-        # PER-HEAD: a global row max is algebraically valid but a head
-        # whose logits sit ~90 below another head's would underflow its
-        # whole exp segment to 0 and divide by zero (rel-pos biases are
-        # unbounded under training).  nh static slices + broadcast concat
-        # stay VPU-shaped; segment sums via 0/1 matmul as before.
-        rowmax = jnp.concatenate(
-            [
-                jnp.broadcast_to(
-                    jnp.max(
-                        logits[:, h * n : (h + 1) * n], axis=-1, keepdims=True
-                    ),
-                    (n, n),
-                )
-                for h in range(nh)
-            ],
-            axis=-1,
+        o = _attend_window(
+            w, rel, kmask, vmask, seg_sum, seg_bcast,
+            mask_ref[0, j] if has_mask else None,
+            n=n, nh=nh, c=c,
         )
-        ex = jnp.exp(logits - rowmax)  # (n, nh·n)
-        denom = jnp.dot(ex, seg_sum, preferred_element_type=jnp.float32)
-        inv = jnp.dot(1.0 / denom, seg_bcast, preferred_element_type=jnp.float32)
-        probs = (ex * inv).astype(cdt)
-
-        # V'[h·n+m, cc] = v[m, cc]·[head(cc)=h]; O = probs @ V' → (n, c)
-        vp = jnp.tile(v, (nh, 1)) * vmask
-        o = jnp.dot(probs, vp, preferred_element_type=jnp.float32)
         out_ref[0, :, j * ws : (j + 1) * ws, :] = o.reshape(ws, ws, c).astype(
             out_ref.dtype
         )
 
 
-def _pick_w_tile(nww: int, ws: int, c: int) -> int:
-    """Largest divisor of nww whose strip block stays comfortably in VMEM."""
+def _wba_proj_kernel(
+    x_ref,
+    rel_ref,
+    wqkv_ref,
+    bqkv_ref,
+    wproj_ref,
+    bproj_ref,
+    kmask_ref,
+    vmask_ref,
+    seg_sum_ref,
+    seg_bcast_ref,
+    mask_ref,
+    out_ref,
+    o_scratch,
+    *,
+    ws: int,
+    nh: int,
+    tw: int,
+    c: int,
+    has_mask: bool,
+):
+    """Fully-fused strip: x → qkv matmul → W-MSA → output projection.
+
+    Folding the two Dense layers into the kernel removes the qkv tensor's
+    HBM round trip (3C wide — the largest intermediate of the XLA path)
+    and the pre-proj attention output's.  The strip-level matmuls are
+    MXU-shaped: (ws·tw·ws, c) @ (c, 3c) and (ws·tw·ws, c) @ (c, c)."""
+    n = ws * ws
+    xs = x_ref[0]  # (ws, tw·ws, c)
+    cdt = xs.dtype
+    rel = rel_ref[:]
+
+    flat = xs.reshape(ws * tw * ws, c)
+    qkv = jnp.dot(flat, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[:].astype(jnp.float32)  # zeros when bias-less
+    strip = qkv.astype(cdt).reshape(ws, tw * ws, 3 * c)
+
+    kmask = kmask_ref[:]
+    vmask = vmask_ref[:]
+    seg_sum = seg_sum_ref[:]
+    seg_bcast = seg_bcast_ref[:]
+
+    for j in range(tw):
+        w = strip[:, j * ws : (j + 1) * ws, :].reshape(n, 3 * c)
+        o = _attend_window(
+            w, rel, kmask, vmask, seg_sum, seg_bcast,
+            mask_ref[0, j] if has_mask else None,
+            n=n, nh=nh, c=c,
+        )
+        o_scratch[:, j * ws : (j + 1) * ws, :] = o.reshape(ws, ws, c).astype(
+            o_scratch.dtype
+        )
+
+    o_flat = o_scratch[:].reshape(ws * tw * ws, c)
+    out = jnp.dot(o_flat, wproj_ref[:], preferred_element_type=jnp.float32)
+    out = out + bproj_ref[:].astype(jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype).reshape(ws, tw * ws, c)
+
+
+def _pick_w_tile(nww: int, ws: int, c: int, fused_proj: bool = False) -> int:
+    """Largest divisor of nww whose strip block stays comfortably in VMEM.
+
+    The fused-projection variant additionally materializes the strip's
+    fp32 qkv product and an output scratch in VMEM, so its per-strip
+    budget is tighter (double-buffered blocks + temporaries must stay
+    under the ~16 MB/core VMEM)."""
     budget = 3 * 1024 * 1024  # bytes for the (ws, tw·ws, 3c) bf16 block
+    per_tw = ws * ws * 3 * c * 2
+    if fused_proj:
+        budget = 4 * 1024 * 1024
+        per_tw = ws * ws * 3 * c * (2 + 4)  # bf16 strip + fp32 qkv product
     for tw in range(nww, 0, -1):
         if nww % tw:
             continue
-        if ws * tw * ws * 3 * c * 2 <= budget or tw == 1:
+        if tw * per_tw <= budget or tw == 1:
             return tw
     return 1
 
@@ -232,6 +308,99 @@ def window_attention_fused(
     )(*args)
 
 
+def window_attention_fused_proj(
+    x: jax.Array,
+    rel_flat: jax.Array,
+    wqkv: jax.Array,
+    bqkv: jax.Array,
+    wproj: jax.Array,
+    bproj: jax.Array,
+    mask_flat: jax.Array | None,
+    *,
+    ws: int,
+    nh: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fully-fused W-MSA: x (B, Hp, Wp, C) → post-proj output (B, Hp, Wp, C).
+
+    ``wqkv`` (C, 3C) / ``wproj`` (C, C) with biases (3C,) / (C,) — pass
+    zeros for a bias-less qkv.  Folds both Dense layers into the kernel's
+    strip tiles (the qkv tensor never touches HBM)."""
+    b, hp, wp, c = x.shape
+    n = ws * ws
+    assert hp % ws == 0 and wp % ws == 0, (hp, wp, ws)
+    nwh, nww = hp // ws, wp // ws
+    tw = _pick_w_tile(nww, ws, c, fused_proj=True)
+    nwt = nww // tw
+
+    kernel = functools.partial(
+        _wba_proj_kernel, ws=ws, nh=nh, tw=tw, c=c,
+        has_mask=mask_flat is not None,
+    )
+    kmask_np, vmask_np = _head_masks(c, nh, n, np.float32)
+    seg_sum_np, seg_bcast_np = _segment_mats(nh, n)
+    cdt = x.dtype
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda ih, jt, ib: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(
+            (1, ws, tw * ws, c),
+            lambda ih, jt, ib: (ib, ih, jt, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        full((n, nh * n)),
+        full((c, 3 * c)),
+        full((1, 3 * c)),
+        full((c, c)),
+        full((1, c)),
+        full((c, nh * n)),
+        full((nh * n, c)),
+        full((nh * n, nh)),
+        full((nh, nh * n)),
+    ]
+    args = [
+        x,
+        rel_flat,
+        wqkv.astype(cdt),
+        bqkv.reshape(1, 3 * c),
+        wproj.astype(cdt),
+        bproj.reshape(1, c),
+        jnp.asarray(kmask_np, dtype=cdt),
+        jnp.asarray(vmask_np, dtype=cdt),
+        jnp.asarray(seg_sum_np),
+        jnp.asarray(seg_bcast_np),
+    ]
+    if mask_flat is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, tw, n, nh * n),
+                lambda ih, jt, ib: (ih, jt, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(mask_flat)
+    else:
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda ih, jt, ib: (0, 0), memory_space=pltpu.SMEM)
+        )
+        args.append(jnp.zeros((1, 1), jnp.float32))
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), cdt),
+        grid=(nwh, nwt, b),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, ws, tw * ws, c),
+            lambda ih, jt, ib: (ib, ih, jt, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((ws, tw * ws, c), cdt)],
+        interpret=interpret,
+    )(*args)
+
+
 def _wba_reference(qkv, rel_flat, mask_flat, *, ws, nh):
     """Plain-jnp restatement of the fused kernel (bwd path + tests)."""
     b, hp, wp, c3 = qkv.shape
@@ -261,6 +430,52 @@ def _wba_reference(qkv, rel_flat, mask_flat, *, ws, nh):
     o = jnp.einsum("bhnm,bmhd->bnhd", probs, vh).reshape(-1, n, c)
     o = o.reshape(b, nwh, nww, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
     return o.reshape(b, hp, wp, c).astype(qkv.dtype)
+
+
+def _wba_proj_reference(
+    x, rel_flat, wqkv, bqkv, wproj, bproj, mask_flat, *, ws, nh
+):
+    """Plain-jnp restatement of the fully-fused kernel (bwd path + tests)."""
+    cdt = x.dtype
+    qkv = jnp.einsum(
+        "bhwc,cd->bhwd", x, wqkv.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + bqkv.astype(jnp.float32)).astype(cdt)
+    o = _wba_reference(qkv, rel_flat, mask_flat, ws=ws, nh=nh)
+    out = jnp.einsum(
+        "bhwc,cd->bhwd", o, wproj.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    return (out + bproj.astype(jnp.float32)).astype(cdt)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_wba_proj_op(ws: int, nh: int, mask_key, interpret: bool):
+    """custom_vjp'd fully-fused op (see _make_wba_op for the mask-key
+    contract; masks stay numpy in the closure for per-trace conversion)."""
+    mask_c = _MASK_STORE.get(mask_key) if mask_key is not None else None
+
+    @jax.custom_vjp
+    def op(x, rel_flat, wqkv, bqkv, wproj, bproj):
+        return window_attention_fused_proj(
+            x, rel_flat, wqkv, bqkv, wproj, bproj, mask_c,
+            ws=ws, nh=nh, interpret=interpret,
+        )
+
+    def fwd(x, rel_flat, wqkv, bqkv, wproj, bproj):
+        return op(x, rel_flat, wqkv, bqkv, wproj, bproj), (
+            x, rel_flat, wqkv, bqkv, wproj, bproj,
+        )
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(
+            lambda *a: _wba_proj_reference(*a, mask_c, ws=ws, nh=nh), *res
+        )
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op
 
 
 @functools.lru_cache(maxsize=64)
@@ -326,12 +541,36 @@ def wba_fused_apply(
 ) -> jax.Array:
     """Entry point used by WindowAttention: registers the static mask under
     ``mask_key`` (a hashable shape-config token) and applies the fused op."""
-    if mask_np is not None:
-        _MASK_STORE.pop(mask_key, None)  # refresh FIFO position
-        _MASK_STORE[mask_key] = mask_np
-        while len(_MASK_STORE) > _MASK_STORE_MAX:
-            _MASK_STORE.pop(next(iter(_MASK_STORE)))
-        key = mask_key
-    else:
-        key = None
+    key = _register_mask(mask_np, mask_key)
     return _make_wba_op(ws, nh, key, interpret)(qkv, rel_flat)
+
+
+def _register_mask(mask_np, mask_key):
+    if mask_np is None:
+        return None
+    _MASK_STORE.pop(mask_key, None)  # refresh FIFO position
+    _MASK_STORE[mask_key] = mask_np
+    while len(_MASK_STORE) > _MASK_STORE_MAX:
+        _MASK_STORE.pop(next(iter(_MASK_STORE)))
+    return mask_key
+
+
+def wba_fused_proj_apply(
+    x: jax.Array,
+    rel_flat: jax.Array,
+    wqkv: jax.Array,
+    bqkv: jax.Array,
+    wproj: jax.Array,
+    bproj: jax.Array,
+    mask_np: np.ndarray | None,
+    mask_key,
+    *,
+    ws: int,
+    nh: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fully-fused entry point: x + both projection weight sets → output."""
+    key = _register_mask(mask_np, mask_key)
+    return _make_wba_proj_op(ws, nh, key, interpret)(
+        x, rel_flat, wqkv, bqkv, wproj, bproj
+    )

@@ -27,12 +27,18 @@ from .conv import Conv2d
 # fp32 logits round trip and all head-split/window relayouts).  CPU (tests,
 # dryrun_multichip) resolves to the XLA path; `set_pallas_attn(True/False)`
 # overrides either way, `set_pallas_attn(None)` restores auto.
-_PALLAS_ATTN = {"enabled": None, "interpret": False}
+_PALLAS_ATTN = {"enabled": None, "interpret": False, "fuse_proj": False}
 
 
-def set_pallas_attn(enabled, interpret: bool = False) -> None:
+def set_pallas_attn(enabled, interpret: bool = False, fuse_proj=None) -> None:
+    """``fuse_proj``: fold the qkv/proj Dense matmuls into the kernel's
+    strip tiles (pallas_attn.wba_fused_proj_apply) — the qkv tensor (the
+    3C-wide largest intermediate) never round-trips HBM.  None keeps the
+    current setting; the flag only matters when the fused path is active."""
     _PALLAS_ATTN["enabled"] = enabled
     _PALLAS_ATTN["interpret"] = interpret
+    if fuse_proj is not None:
+        _PALLAS_ATTN["fuse_proj"] = bool(fuse_proj)
 
 
 def pallas_attn_enabled() -> bool:
@@ -113,6 +119,33 @@ def swin_shift_mask(
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+class _DenseParams(nn.Module):
+    """Declares an nn.Dense-identical param tree WITHOUT applying it —
+    the fully-fused Pallas path consumes the raw (kernel, bias) so the
+    matmuls run inside the kernel, while checkpoints stay interchangeable
+    with the nn.Dense execution paths (same names, shapes, inits)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_features, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,),
+                jnp.float32,
+            )
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class WindowAttention(nn.Module):
     """W-MSA over already-partitioned windows, with relative position bias.
 
@@ -153,11 +186,10 @@ class WindowAttention(nn.Module):
             # Fused Pallas path: x is the padded+rolled (B, Hp, Wp, C) map;
             # windowing happens inside the kernel.  Same param tree as the
             # windows path (Dense applies over the last axis either way).
-            from .pallas_attn import wba_fused_apply
+            from .pallas_attn import wba_fused_apply, wba_fused_proj_apply
 
             b4, hp, wp, c = x.shape
             n = ws * ws
-            qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(x)
             # rel_flat[i, h·n+m] = bias[idx(i,m), h]
             rel_flat = (
                 bias_table[idx]
@@ -165,6 +197,25 @@ class WindowAttention(nn.Module):
                 .transpose(0, 2, 1)
                 .reshape(n, nh * n)
             )
+            if _PALLAS_ATTN["fuse_proj"]:
+                # both Dense layers fold into the kernel; the params are
+                # declared through _DenseParams twins so the tree ({"qkv":
+                # {kernel, bias}, "proj": …}) stays interchangeable with
+                # the nn.Dense paths below
+                wqkv, bqkv = _DenseParams(
+                    3 * c, use_bias=self.qkv_bias, name="qkv"
+                )(c)
+                wproj, bproj = _DenseParams(
+                    c, kernel_init=nn.initializers.zeros_init(), name="proj"
+                )(c)
+                if bqkv is None:
+                    bqkv = jnp.zeros((3 * c,), wqkv.dtype)
+                return wba_fused_proj_apply(
+                    x, rel_flat, wqkv, bqkv, wproj, bproj,
+                    mask_np, mask_key,
+                    ws=ws, nh=nh, interpret=_PALLAS_ATTN["interpret"],
+                )
+            qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(x)
             out = wba_fused_apply(
                 qkv,
                 rel_flat,

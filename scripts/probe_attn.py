@@ -70,16 +70,25 @@ def main():
         set_pallas_attn(True)
         f2 = jax.jit(lambda p, xx: module.apply({"params": p}, xx))
         t_pal, got = timeit(f2, params, x)
-        set_pallas_attn(False)
+        set_pallas_attn(True, fuse_proj=True)
+        f3 = jax.jit(lambda p, xx: module.apply({"params": p}, xx))
+        t_fp, got_fp = timeit(f3, params, x)
+        set_pallas_attn(False, fuse_proj=False)
+        scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) + 1e-9
         err = float(
             jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)))
         )
-        scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) + 1e-9
+        err_fp = float(
+            jnp.max(jnp.abs(got_fp.astype(jnp.float32) - ref.astype(jnp.float32)))
+        )
         print(
             f"  {name:36s} xla {t_xla:7.2f} ms   pallas {t_pal:7.2f} ms   "
-            f"({t_xla / t_pal:4.2f}x)  relerr {err / scale:.2e}",
+            f"({t_xla / t_pal:4.2f}x)  relerr {err / scale:.2e}   "
+            f"+fuse_proj {t_fp:7.2f} ms ({t_xla / t_fp:4.2f}x) "
+            f"relerr {err_fp / scale:.2e}",
             flush=True,
         )
+        del got_fp
         # free device buffers + donate executables between modules — the
         # probe previously OOM'd the chip accumulating every module's
         # params/activations plus two full-model compiles (ResourceExhausted
@@ -134,15 +143,21 @@ def main():
         def fwd_pal(p, xx, m=model):
             return m.apply({"params": p}, xx, training=False).x_tilde
 
+        def fwd_fp(p, xx, m=model):
+            return m.apply({"params": p}, xx, training=False).x_tilde
+
         set_pallas_attn(False)
         t_xla, _ = timeit(jax.jit(fwd_xla), params, x, iters=5)
         set_pallas_attn(True)
         t_pal, _ = timeit(jax.jit(fwd_pal), params, x, iters=5)
-        set_pallas_attn(False)
+        set_pallas_attn(True, fuse_proj=True)
+        t_fp, _ = timeit(jax.jit(fwd_fp), params, x, iters=5)
+        set_pallas_attn(False, fuse_proj=False)
         mp = 8 * 512 * 768 / 1e6
         print(
             f"  {preset:24s} fwd: xla {t_xla:7.2f} ms ({mp / t_xla * 1e3:6.1f}"
-            f" MP/s)  pallas {t_pal:7.2f} ms ({mp / t_pal * 1e3:6.1f} MP/s)",
+            f" MP/s)  pallas {t_pal:7.2f} ms ({mp / t_pal * 1e3:6.1f} MP/s)"
+            f"  +fuse_proj {t_fp:7.2f} ms ({mp / t_fp * 1e3:6.1f} MP/s)",
             flush=True,
         )
         del params, x

@@ -194,7 +194,9 @@ class TestPallasConv5s2:
 class TestPallasWindowAttention:
     """Fused W-MSA kernel (layers/pallas_attn.py) vs the XLA windows path."""
 
-    def _run_module(self, h, w, ws, ss, fused, nh=4, c=32, b=2, seed=5):
+    def _run_module(
+        self, h, w, ws, ss, fused, nh=4, c=32, b=2, seed=5, fuse_proj=False
+    ):
         from lic_tpu.layers.win_attention import (
             WinBasedAttention,
             set_pallas_attn,
@@ -211,12 +213,13 @@ class TestPallasWindowAttention:
             ),
             params,
         )
-        set_pallas_attn(fused, interpret=True)
+        set_pallas_attn(fused, interpret=True, fuse_proj=fuse_proj)
         try:
             return m.apply(params, x), params, m, x
         finally:
-            set_pallas_attn(False)
+            set_pallas_attn(False, fuse_proj=False)
 
+    @pytest.mark.parametrize("fuse_proj", [False, True])
     @pytest.mark.parametrize(
         "h,w,ws,ss",
         [
@@ -227,12 +230,49 @@ class TestPallasWindowAttention:
             (12, 20, 8, 0),   # non-window-multiple, no shift (pad mask only)
         ],
     )
-    def test_fused_matches_xla_path(self, h, w, ws, ss):
+    def test_fused_matches_xla_path(self, h, w, ws, ss, fuse_proj):
         ref, params, m, x = self._run_module(h, w, ws, ss, fused=False)
-        got, _, _, _ = self._run_module(h, w, ws, ss, fused=True)
+        # the SAME params drive both paths — the fully-fused variant's
+        # _DenseParams tree must be interchangeable with nn.Dense's
+        got, _, _, _ = self._run_module(
+            h, w, ws, ss, fused=True, fuse_proj=fuse_proj
+        )
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
         )
+
+    def test_fuse_proj_grad_matches_xla_path(self):
+        from lic_tpu.layers.win_attention import (
+            WinBasedAttention,
+            set_pallas_attn,
+        )
+
+        rng = np.random.default_rng(17)
+        b, h, w, c, nh, ws, ss = 1, 16, 16, 16, 4, 8, 4
+        x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+        m = WinBasedAttention(dim=c, num_heads=nh, window_size=ws, shift_size=ss)
+        params = m.init(jax.random.PRNGKey(0), x)
+        params = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.standard_normal(p.shape).astype(np.float32) * 0.05
+            ),
+            params,
+        )
+
+        def loss(p, xx):
+            return jnp.sum(m.apply(p, xx) ** 2)
+
+        ref_l, ref_g = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+        set_pallas_attn(True, interpret=True, fuse_proj=True)
+        try:
+            got_l, got_g = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+        finally:
+            set_pallas_attn(False, fuse_proj=False)
+        np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-4)
+        for a, bb in zip(jax.tree.leaves(got_g), jax.tree.leaves(ref_g)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb), rtol=3e-4, atol=3e-4
+            )
 
     def test_per_head_softmax_shift_no_underflow(self):
         """A head whose logits sit far below another head's must not NaN:
