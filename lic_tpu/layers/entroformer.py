@@ -253,10 +253,18 @@ class EntroformerContext(nn.Module):
         self.blocks = [EntroformerBlock(cfg) for _ in range(cfg.num_layers)]
         self.head = nn.Dense(2 * self.latent_channels)
 
-    def _run(self, y_in, hyper, mask, shape_2d):
+    def embed_hyper(self, hyper):
+        """The passes' shared prefix: the hyper embedding is identical in
+        both checkerboard passes — callers driving the two passes
+        explicitly (``entro_pass_impl``) compute it once."""
+        return self.embed_h(hyper)
+
+    def _run(self, y_in, hyper, mask, shape_2d, h_emb=None):
         b = y_in.shape[0]
         h, w = shape_2d
-        tok = self.embed_y(y_in) + self.embed_h(hyper)
+        if h_emb is None:
+            h_emb = self.embed_h(hyper)
+        tok = self.embed_y(y_in) + h_emb
         tok = tok.reshape(b, h * w, self.cfg.dim)
         for blk in self.blocks:
             tok = blk(tok, shape_2d, mask=mask, topk=self.cfg.attn_topk)

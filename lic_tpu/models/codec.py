@@ -673,13 +673,20 @@ class CodecModel(nn.Module):
         """(μ, σ) from prebuilt (P, 4, 4, c_y+c_h) context patches."""
         return self.prediction_model.head(merged)
 
-    def entro_predict(self, y_in, latent_scales, latent_means):
+    def entro_predict(self, y_in, latent_scales, latent_means, h_emb=None):
         """One checkerboard context pass: (μ, σ) given the currently-decoded
-        latent ``y_in`` (zeros where unknown) and the hyper features."""
+        latent ``y_in`` (zeros where unknown) and the hyper features.
+        ``h_emb``: precomputed ``entro_embed_hyper`` output — the shared
+        prefix of the two passes (skips re-embedding the hyper)."""
         hyper = jnp.concatenate([latent_scales, latent_means], axis=-1)
         return self.entro_context._run(
-            y_in, hyper, None, (y_in.shape[1], y_in.shape[2])
+            y_in, hyper, None, (y_in.shape[1], y_in.shape[2]), h_emb=h_emb
         )
+
+    def entro_embed_hyper(self, latent_scales, latent_means):
+        """Embed the hyper features once for both checkerboard passes."""
+        hyper = jnp.concatenate([latent_scales, latent_means], axis=-1)
+        return self.entro_context.embed_hyper(hyper)
 
     # ------------------------------------------ entroformer context path
 

@@ -247,11 +247,19 @@ class ChannelCoder:
         )
         dev, n_lanes = self.dev_rans, self.charm_lanes
 
-        def drain(lanes, payload, rows_flat, s_tot):
+        def drain(lanes, payload, rows_flat, s_tot, use_stream=None):
             """Decode ``s_tot`` symbols from the lane-parallel stream with
             CDF rows ``rows_flat`` (b, s_tot) — chunked lax.scan (xs are
             pre-sliced, ys auto-stacked, `unroll` amortizes the per-chunk
-            loop overhead that dominated the decode)."""
+            loop overhead that dominated the decode).
+
+            ``use_stream``: the pass's encode/decode selector.  When given,
+            the WHOLE chunk scan sits behind a scalar-pred ``lax.cond`` —
+            encode mode (0) skips every serial rANS chunk instead of
+            decoding a dummy payload (the decoded values are discarded by
+            the ``jnp.where(use_stream, …)`` selects anyway, and the μ/σ
+            computation is outside this function, so encode/decode
+            bit-exactness of the entropy params is untouched)."""
             b = rows_flat.shape[0]
             mc = -(-s_tot // n_lanes)
             rows_pad = jnp.pad(
@@ -271,9 +279,22 @@ class ChannelCoder:
                 )
                 return lanes, vals
 
-            lanes, dec = jax.lax.scan(
-                chunk, lanes, (rows_sc, valid_sc), unroll=8
-            )
+            def run(lanes):
+                return jax.lax.scan(
+                    chunk, lanes, (rows_sc, valid_sc), unroll=8
+                )
+
+            if use_stream is None:
+                lanes, dec = run(lanes)
+            else:
+                lanes, dec = jax.lax.cond(
+                    use_stream != 0,
+                    run,
+                    lambda lanes: (
+                        lanes, jnp.zeros((mc, b, n_lanes), jnp.int32)
+                    ),
+                    lanes,
+                )
             return lanes, dec.transpose(1, 0, 2).reshape(b, -1)[:, :s_tot]
 
         def slices_pass_impl(p, z_hat, y, payload, use_stream):
@@ -301,7 +322,8 @@ class ChannelCoder:
 
                 s_tot = rows.shape[1] * rows.shape[2] * rows.shape[3]
                 lanes, dec = drain(
-                    lanes, payload, rows.reshape(b, s_tot), s_tot
+                    lanes, payload, rows.reshape(b, s_tot), s_tot,
+                    use_stream=use_stream,
                 )
                 sym_dec = dec.reshape(rows.shape)
                 sym = jnp.where(use_stream != 0, sym_dec, sym_enc)
@@ -344,9 +366,13 @@ class ChannelCoder:
             lanes = dev.init_lanes(payload)
             y_known = jnp.zeros_like(y)
             syms_out, rows_out = [], []
+            h_emb = model.apply(
+                {"params": p}, scales, means,
+                method=CodecModel.entro_embed_hyper,
+            )
             for idx in idxs:
                 mu, sigma = model.apply(
-                    {"params": p}, y_known, scales, means,
+                    {"params": p}, y_known, scales, means, h_emb,
                     method=CodecModel.entro_predict,
                 )
                 mu_f = jnp.take(mu.reshape(b, -1), idx, axis=1)
@@ -358,7 +384,10 @@ class ChannelCoder:
                     jnp.round(jnp.take(y_flat, idx, axis=1) - mu_f),
                     -_SYM_CLIP, _SYM_CLIP,
                 ).astype(jnp.int32)
-                lanes, sym_dec = drain(lanes, payload, rows_f, idx.shape[0])
+                lanes, sym_dec = drain(
+                    lanes, payload, rows_f, idx.shape[0],
+                    use_stream=use_stream,
+                )
                 sym = jnp.where(use_stream != 0, sym_dec, sym_enc)
                 y_known = (
                     y_known.reshape(b, -1)
@@ -718,11 +747,15 @@ class ChannelCoder:
 
     @staticmethod
     def _ns_lane_count(total_syms: int) -> int:
-        """Lanes for the content stream: enough parallelism for the device
-        decoder while keeping the ~4–6 byte/lane flush+header overhead
-        around ~1% of a typical payload (≥2048 symbols per lane)."""
+        """Lanes for the content stream.  Wavefront decode latency is the
+        SERIAL chunk count ``Σ_t ceil(p_max·c / L)``, so lanes are the
+        dominant throughput lever (round-3's ≥2048-symbols/lane rule left
+        the bench shape at 32 lanes = 66 serial chunks per wavefront).
+        ≥256 symbols/lane keeps the 4 B/lane state flush ≤ ~1.6% of a
+        typical payload — measured +0.7% bpp at 640×512 for ~7× fewer
+        chunks."""
         l = 1
-        while l < 128 and total_syms // (2 * l) >= 2048:
+        while l < 256 and total_syms // (2 * l) >= 256:
             l *= 2
         return max(l, 8)
 
@@ -815,8 +848,19 @@ class ChannelCoder:
                     )
                     return lanes, vals[0]
 
-                lanes, dec = jax.lax.scan(
-                    chunk, lanes, (rows_sc, valid_sc), unroll=8
+                # encode mode never reads the (dummy) stream: skip the
+                # whole serial chunk scan behind one scalar-pred branch —
+                # μ/σ above are computed identically either way, so the
+                # coded rows stay bit-exact between encode and decode
+                lanes, dec = jax.lax.cond(
+                    use_stream != 0,
+                    lambda lanes: jax.lax.scan(
+                        chunk, lanes, (rows_sc, valid_sc), unroll=8
+                    ),
+                    lambda lanes: (
+                        lanes, jnp.zeros((mc, n_lanes), jnp.int32)
+                    ),
+                    lanes,
                 )
                 sym = dec.reshape(-1)[: p_max * c].reshape(p_max, c)
 
