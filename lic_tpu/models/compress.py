@@ -228,6 +228,7 @@ class ChannelCoder:
             DeviceRans16Interleaved,
             Rans16InterleavedCodec,
         )
+        from ..coding.pallas_rans import pallas_drain, pallas_rans_active
 
         # INTERLEAVED shared-stream format: all lanes' renorm words weave
         # into one stream, so the device decoder reads each chunk from ONE
@@ -259,8 +260,30 @@ class ChannelCoder:
             decoding a dummy payload (the decoded values are discarded by
             the ``jnp.where(use_stream, …)`` selects anyway, and the μ/σ
             computation is outside this function, so encode/decode
-            bit-exactness of the entropy params is untouched)."""
+            bit-exactness of the entropy params is untouched).
+
+            On TPU the whole drain runs as ONE pallas kernel (lane states
+            in VMEM across all chunks, one-hot MXU table lookups —
+            ``coding/pallas_rans.py``); the scan lowering below is the
+            CPU/fallback path and the kernel's parity reference."""
             b = rows_flat.shape[0]
+            if pallas_rans_active():
+                def run_pallas(lanes):
+                    return pallas_drain(
+                        dev, lanes, payload, rows_flat, s_tot
+                    )
+
+                if use_stream is None:
+                    return run_pallas(lanes)
+                return jax.lax.cond(
+                    use_stream != 0,
+                    run_pallas,
+                    lambda lanes: (
+                        lanes,
+                        jnp.zeros_like(rows_flat),
+                    ),
+                    lanes,
+                )
             mc = -(-s_tot // n_lanes)
             rows_pad = jnp.pad(
                 rows_flat, ((0, 0), (0, mc * n_lanes - s_tot))
@@ -769,6 +792,7 @@ class ChannelCoder:
             return self._ns_scan_cache[key]
 
         from ..coding.device_rans import DeviceRans16Interleaved
+        from ..coding.pallas_rans import pallas_drain, pallas_rans_active
 
         cfg = self.model.cfg
         c = cfg.N - cfg.M
@@ -830,39 +854,56 @@ class ChannelCoder:
                 rows = (si * nd + dj).astype(jnp.int32)       # (P, C)
                 mu_i = mu_r.astype(jnp.int32)
 
-                rows_pad = jnp.pad(
-                    rows.reshape(-1), (0, mc * n_lanes - p_max * c)
-                )
-                # inner chunk loop as an unrolled scan (see slices_pass):
-                # pre-sliced xs + auto-stacked ys, no dynamic slices
-                rows_sc = rows_pad.reshape(mc, n_lanes)
-                valid_sc = (
-                    jnp.arange(mc, dtype=jnp.int32)[:, None] * n_lanes
-                    + jnp.arange(n_lanes, dtype=jnp.int32)[None, :]
-                ) < ns_t  # (mc, L); ns_t is this wavefront's symbol count
-
-                def chunk(lanes, xs):
-                    rk, vd = xs  # (L,), (L,) — add the B=1 stream axis
-                    vals, lanes = dev.decode_chunk(
-                        lanes, payload, rk[None], vd[None]
-                    )
-                    return lanes, vals[0]
-
                 # encode mode never reads the (dummy) stream: skip the
-                # whole serial chunk scan behind one scalar-pred branch —
+                # whole serial drain behind one scalar-pred branch —
                 # μ/σ above are computed identically either way, so the
                 # coded rows stay bit-exact between encode and decode
-                lanes, dec = jax.lax.cond(
-                    use_stream != 0,
-                    lambda lanes: jax.lax.scan(
-                        chunk, lanes, (rows_sc, valid_sc), unroll=8
-                    ),
-                    lambda lanes: (
-                        lanes, jnp.zeros((mc, n_lanes), jnp.int32)
-                    ),
-                    lanes,
-                )
-                sym = dec.reshape(-1)[: p_max * c].reshape(p_max, c)
+                if pallas_rans_active():
+                    # whole-wavefront drain in ONE pallas kernel (traced
+                    # ns_t masks the padded tail; see coding/pallas_rans)
+                    lanes, dec = jax.lax.cond(
+                        use_stream != 0,
+                        lambda lanes: pallas_drain(
+                            dev, lanes, payload,
+                            rows.reshape(1, -1), ns_t,
+                        ),
+                        lambda lanes: (
+                            lanes,
+                            jnp.zeros((1, p_max * c), jnp.int32),
+                        ),
+                        lanes,
+                    )
+                    sym = dec.reshape(p_max, c)
+                else:
+                    rows_pad = jnp.pad(
+                        rows.reshape(-1), (0, mc * n_lanes - p_max * c)
+                    )
+                    # inner chunk loop as an unrolled scan (see
+                    # slices_pass): pre-sliced xs + auto-stacked ys
+                    rows_sc = rows_pad.reshape(mc, n_lanes)
+                    valid_sc = (
+                        jnp.arange(mc, dtype=jnp.int32)[:, None] * n_lanes
+                        + jnp.arange(n_lanes, dtype=jnp.int32)[None, :]
+                    ) < ns_t  # (mc, L); ns_t = this wavefront's symbols
+
+                    def chunk(lanes, xs):
+                        rk, vd = xs  # (L,), (L,) — add the B=1 stream axis
+                        vals, lanes = dev.decode_chunk(
+                            lanes, payload, rk[None], vd[None]
+                        )
+                        return lanes, vals[0]
+
+                    lanes, dec = jax.lax.cond(
+                        use_stream != 0,
+                        lambda lanes: jax.lax.scan(
+                            chunk, lanes, (rows_sc, valid_sc), unroll=8
+                        ),
+                        lambda lanes: (
+                            lanes, jnp.zeros((mc, n_lanes), jnp.int32)
+                        ),
+                        lanes,
+                    )
+                    sym = dec.reshape(-1)[: p_max * c].reshape(p_max, c)
 
                 yk = y_known[
                     jnp.clip(r - 3, 0, hy - 1), jnp.clip(q - 3, 0, wy - 1)

@@ -435,3 +435,73 @@ class TestEntroformerCompress:
         )
         with pytest.raises(ValueError, match="corrupt or truncated"):
             coder.decompress(blobs[0][: len(blobs[0]) - 40])
+
+
+class TestPallasDrainE2E:
+    """Whole-codec roundtrips with the pallas rANS drain forced on
+    (interpret mode on CPU): streams encoded by the scan path decode to
+    the exact eval-forward reconstruction through the pallas kernel, for
+    every AR family (charm slices / checkerboard / NS wavefronts)."""
+
+    @pytest.fixture(autouse=True)
+    def _force_pallas(self):
+        from lic_tpu.coding.pallas_rans import set_pallas_rans
+
+        set_pallas_rans(True, interpret=True)
+        yield
+        set_pallas_rans(None)
+
+    def _roundtrip(self, model, params, x, name="m"):
+        coder = ChannelCoder(model, params, name=name)
+        blob = coder.compress(x)
+        rec = coder.decompress(blob)
+        out = model.apply({"params": params}, x, training=False)
+        np.testing.assert_allclose(
+            np.asarray(rec), np.asarray(out.x_tilde), atol=1e-4
+        )
+        return blob
+
+    def test_charm_slices(self):
+        cfg = CodecConfig(
+            family="charm", transform="plain", hyper="classic_dual",
+            swatten=False, syntax="basic",
+        )
+        model = CodecModel(cfg)
+        rng = np.random.default_rng(40)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            x, training=True,
+        )
+        blob = self._roundtrip(model, v["params"], x)
+        # encode drains are cond-skipped in both lowerings → same bytes
+        from lic_tpu.coding.pallas_rans import set_pallas_rans
+
+        set_pallas_rans(False)
+        scan_coder = ChannelCoder(model, v["params"], name="m")
+        assert scan_coder.compress(x) == blob
+
+    def test_entroformer_checkerboard(self):
+        from lic_tpu.models import get_config
+
+        cfg = get_config("entroformer_cb")
+        model = CodecModel(cfg)
+        rng = np.random.default_rng(41)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            x, training=True,
+        )
+        self._roundtrip(model, v["params"], x, name="entroformer_cb")
+
+    def test_neural_syntax_wavefront(self):
+        from lic_tpu.models import build_model
+
+        model = build_model("neural_syntax")
+        rng = np.random.default_rng(42)
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            x, training=True,
+        )
+        self._roundtrip(model, v["params"], x, name="neural_syntax")
