@@ -110,16 +110,13 @@ def _drain_kernel(
         ptr_s[b] = ptr_in_ref[b]
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
-    # Mosaic's tpu.iota is integer-only: build int32 iotas, cast to f32
-    k_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (L, L), 1
-    ).astype(jnp.float32)
-    row_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (B * L, nrows), 1
-    ).astype(jnp.float32)
-    len_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (B * L, row_len), 1
-    ).astype(jnp.float32)
+    # Mosaic's tpu.iota is integer-only, and it FOLDS convert(int-iota)
+    # back into a float tpu.iota during lowering (verifier error seen on
+    # real TPU).  Keep every iota int32 and do the one-hot comparisons in
+    # integers; only the comparison RESULT is cast to f32 for the MXU.
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (B * L, nrows), 1)
+    len_iota = jax.lax.broadcasted_iota(jnp.int32, (B * L, row_len), 1)
     s_tot = s_tot_ref[0]
 
     def window_renorm(state, need):
@@ -128,7 +125,7 @@ def _drain_kernel(
         # exclusive prefix count of needing lanes = strict-LT matmul
         rank = jnp.dot(
             need_f, lt_ref[:], preferred_element_type=jnp.float32
-        )  # (B, L)
+        ).astype(jnp.int32)  # (B, L) — counts ≤ L are fp32-exact
         ws = []
         for b in range(B):
             ptr_b = jnp.minimum(ptr_s[b], W - L)  # window stays in bounds
@@ -136,7 +133,8 @@ def _drain_kernel(
                 jnp.float32
             )  # words < 2^16: fp32-exact
             sel_b = (
-                (rank[b][:, None] == k_iota) * need_f[b][:, None]
+                (rank[b][:, None] == k_iota).astype(jnp.float32)
+                * need_f[b][:, None]
             )  # (L, L)
             ws.append(
                 jnp.dot(sel_b, win_b[:, None],
@@ -166,7 +164,7 @@ def _drain_kernel(
 
             # CDF row lookup as one-hot matmuls (fp32-exact: values < 2^16)
             oh_rows = (
-                rows.reshape(B * L, 1).astype(jnp.float32) == row_iota
+                rows.reshape(B * L, 1) == row_iota
             ).astype(jnp.float32)
             row_f = jnp.dot(
                 oh_rows, cdf_ref[:], preferred_element_type=jnp.float32
@@ -177,14 +175,17 @@ def _drain_kernel(
 
             cum_f = cum.reshape(B * L, 1).astype(jnp.float32)
             le = (row_f <= cum_f).astype(jnp.float32)
-            slot_f = jnp.sum(le, axis=-1, keepdims=True) - 1.0  # cdf[0]=0
-            slot_f = jnp.minimum(slot_f, float(nsyms))
+            # counts ≤ row_len (131) are fp32-exact → int slot is exact
+            slot_i = (
+                jnp.sum(le, axis=-1, keepdims=True) - 1.0  # cdf[0]=0
+            ).astype(jnp.int32)
+            slot_i = jnp.minimum(slot_i, nsyms)
             # start = cdf[slot], nxt = cdf[slot+1] — one-hot selects
-            oh_slot = (len_iota == slot_f).astype(jnp.float32)
+            oh_slot = (len_iota == slot_i).astype(jnp.float32)
             start = jnp.sum(row_f * oh_slot, axis=-1).reshape(B, L)
-            oh_nxt = (len_iota == slot_f + 1.0).astype(jnp.float32)
+            oh_nxt = (len_iota == slot_i + 1).astype(jnp.float32)
             nxt = jnp.sum(row_f * oh_nxt, axis=-1).reshape(B, L)
-            slot = slot_f.reshape(B, L).astype(jnp.int32)
+            slot = slot_i.reshape(B, L)
             freq = (nxt - start).astype(jnp.int32)
             start_i = start.astype(jnp.int32)
 
