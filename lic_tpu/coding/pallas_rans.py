@@ -81,14 +81,17 @@ _SEG_BUDGET_BYTES = 2 * 1024 * 1024
 
 def _drain_kernel(
     s_tot_ref,      # SMEM (1,) int32 — traced symbol count (NS wavefronts)
-    rows_ref,       # (B, mc·L) int32 CDF row per symbol, decode order
+    rows_ref,       # (mc, B, L) int32 CDF row per symbol, chunk-major —
+                    # dynamic chunk index rides the LEADING dim (Mosaic
+                    # rejects dynamic minor-dim starts not provably
+                    # 128-aligned)
     payload_ref,    # (B, W) int32 zero-extended uint16 words
     state_in_ref,   # (B, L) int32 lane states (uint32 bit pattern)
     ptr_in_ref,     # SMEM (B,) int32 shared word pointer per stream
     cdf_ref,        # (nrows, row_len) fp32 CDF table
     off_ref,        # (nrows, 1) fp32 symbol offsets
     lt_ref,         # (L, L) fp32 strict lower-triangular ones (rank matmul)
-    dec_ref,        # out (B, mc·L) int32 decoded values
+    dec_ref,        # out (mc, B, L) int32 decoded values, chunk-major
     state_out_ref,  # out (B, L) int32
     ptr_out_ref,    # out SMEM (B,) int32
     state_s,        # scratch VMEM (B, L) int32
@@ -101,11 +104,12 @@ def _drain_kernel(
     nrows: int,
     row_len: int,
     nsyms: int,
+    WL: int,
 ):
     state_s[:] = state_in_ref[:]
     # zero dec: chunks past s_tot are pl.when-skipped, and the scan path
     # this replaces returned zeros for them
-    dec_ref[:] = jnp.zeros((B, mc * L), jnp.int32)
+    dec_ref[:] = jnp.zeros((mc, B, L), jnp.int32)
     for b in range(B):
         ptr_s[b] = ptr_in_ref[b]
 
@@ -114,7 +118,7 @@ def _drain_kernel(
     # back into a float tpu.iota during lowering (verifier error seen on
     # real TPU).  Keep every iota int32 and do the one-hot comparisons in
     # integers; only the comparison RESULT is cast to f32 for the MXU.
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (L, WL), 1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (B * L, nrows), 1)
     len_iota = jax.lax.broadcasted_iota(jnp.int32, (B * L, row_len), 1)
     s_tot = s_tot_ref[0]
@@ -128,14 +132,23 @@ def _drain_kernel(
         ).astype(jnp.int32)  # (B, L) — counts ≤ L are fp32-exact
         ws = []
         for b in range(B):
-            ptr_b = jnp.minimum(ptr_s[b], W - L)  # window stays in bounds
-            win_b = payload_ref[b, pl.ds(ptr_b, L)].astype(
+            # Mosaic requires dynamic minor-dim load starts provably
+            # 128-aligned: load the aligned superset window [ptr_al,
+            # ptr_al+WL) and fold the misalignment offset into the
+            # one-hot select.  The wrapper pads payload so ptr_al+WL ≤ W
+            # and W % 128 == 0, making the multiple_of hint truthful.
+            ptr_b = ptr_s[b]
+            ptr_al = pl.multiple_of(
+                jnp.minimum((ptr_b // 128) * 128, W - WL), 128
+            )
+            win_b = payload_ref[b, pl.ds(ptr_al, WL)].astype(
                 jnp.float32
             )  # words < 2^16: fp32-exact
+            tgt = rank[b][:, None] + (ptr_b - ptr_al)  # (L, 1)
             sel_b = (
-                (rank[b][:, None] == k_iota).astype(jnp.float32)
+                (tgt == w_iota).astype(jnp.float32)
                 * need_f[b][:, None]
-            )  # (L, L)
+            )  # (L, WL)
             ws.append(
                 jnp.dot(sel_b, win_b[:, None],
                         preferred_element_type=jnp.float32)[:, 0]
@@ -158,7 +171,7 @@ def _drain_kernel(
         @pl.when(i * L < s_tot)
         def _():
             state = state_s[:]
-            rows = rows_ref[:, pl.ds(i * L, L)]  # (B, L)
+            rows = rows_ref[i]  # (B, L)
             valid = (i * L + lane_iota) < s_tot
             cum = state & 0xFFFF
 
@@ -196,7 +209,7 @@ def _drain_kernel(
             state_s[:] = state
 
             vals = jnp.where(valid, slot + off, 0)
-            dec_ref[:, pl.ds(i * L, L)] = vals
+            dec_ref[i] = vals
 
             esc = valid & (slot == nsyms)
 
@@ -215,8 +228,7 @@ def _drain_kernel(
                 # |delta| >= 2^30)
                 delta = _SRL(u, 1) ^ (-(u & 1))
                 esc_val = jnp.where(delta < 0, 0, nsyms - 1) + delta + off
-                cur = dec_ref[:, pl.ds(i * L, L)]
-                dec_ref[:, pl.ds(i * L, L)] = jnp.where(esc, esc_val, cur)
+                dec_ref[i] = jnp.where(esc, esc_val, dec_ref[i])
 
         return 0
 
@@ -227,10 +239,10 @@ def _drain_kernel(
 
 
 @functools.lru_cache(maxsize=32)
-def _build_drain(B, L, mc, W, nrows, row_len, nsyms, interpret):
+def _build_drain(B, L, mc, W, nrows, row_len, nsyms, WL, interpret):
     kernel = functools.partial(
         _drain_kernel, B=B, L=L, mc=mc, W=W,
-        nrows=nrows, row_len=row_len, nsyms=nsyms,
+        nrows=nrows, row_len=row_len, nsyms=nsyms, WL=WL,
     )
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -240,7 +252,7 @@ def _build_drain(B, L, mc, W, nrows, row_len, nsyms, interpret):
         return pl.pallas_call(
             kernel,
             out_shape=(
-                jax.ShapeDtypeStruct((B, mc * L), jnp.int32),
+                jax.ShapeDtypeStruct((mc, B, L), jnp.int32),
                 jax.ShapeDtypeStruct((B, L), jnp.int32),
                 jax.ShapeDtypeStruct((B,), jnp.int32),
             ),
@@ -269,9 +281,10 @@ def pallas_drain(dev, lanes, payload, rows_flat, s_tot, interpret=None):
     """Drop-in pallas replacement for the chunked decode scan.
 
     ``dev``: a ``DeviceRans16Interleaved`` (CDF tables + lane count).
-    ``lanes``: ``DeviceIState``; ``payload`` (B, W) int32 with ≥ L
-    trailing zeros per stream; ``rows_flat`` (B, S) int32; ``s_tot``
-    traced or static symbol count (≤ S; trailing lanes masked).
+    ``lanes``: ``DeviceIState``; ``payload`` (B, W) int32 (self-padded
+    here to the kernel's aligned-window contract); ``rows_flat`` (B, S)
+    int32; ``s_tot`` traced or static symbol count (≤ S; trailing lanes
+    masked).
 
     Returns ``(new_lanes, dec (B, S) int32)`` matching
     ``decode_chunk``-over-``lax.scan`` lane-for-lane.
@@ -288,7 +301,13 @@ def pallas_drain(dev, lanes, payload, rows_flat, s_tot, interpret=None):
     L = dev.n_lanes
     mc = -(-S // L)
     rows_flat = jnp.clip(rows_flat, 0, dev.rows - 1)
-    W = payload.shape[1]
+    # Aligned-window contract (see _drain_kernel.window_renorm): the
+    # kernel loads WL words from a 128-aligned start ≤ ptr; pad payload
+    # so every such window is in bounds and W is a multiple of 128.
+    WL = 128 + -(-L // 128) * 128
+    W0 = payload.shape[1]
+    W = -(-(W0 + WL) // 128) * 128
+    payload = jnp.pad(payload.astype(jnp.int32), ((0, 0), (0, W - W0)))
     cdf_f = dev.cdf_rows.astype(jnp.float32)
     off_f = dev.offsets.astype(jnp.float32).reshape(-1, 1)
     # rank_j = Σ_k need_k·M[k,j] must count lanes BEFORE j ⇒ M[k,j]=1 iff k<j
@@ -304,18 +323,23 @@ def pallas_drain(dev, lanes, payload, rows_flat, s_tot, interpret=None):
     for seg_start in range(0, mc, seg_mc):
         seg = min(seg_mc, mc - seg_start)
         run = _build_drain(
-            B, L, seg, W, dev.rows, dev.row_len, dev.nsyms, bool(interpret)
+            B, L, seg, W, dev.rows, dev.row_len, dev.nsyms, WL,
+            bool(interpret),
         )
         # local symbol budget for this segment (traced; clamps at 0 make
         # fully-past-the-end segments skip every chunk body)
         s_loc = jnp.clip(s_tot - seg_start * L, 0, seg * L)
-        dec, state, ptr = run(
-            s_loc.reshape(1),
+        rows_seg = (
             jax.lax.slice_in_dim(rows_pad, seg_start * L,
-                                 (seg_start + seg) * L, axis=1),
+                                 (seg_start + seg) * L, axis=1)
+            .reshape(B, seg, L)
+            .transpose(1, 0, 2)  # chunk-major for the kernel
+        )
+        dec, state, ptr = run(
+            s_loc.reshape(1), rows_seg,
             payload, state, ptr, cdf_f, off_f, lt,
         )
-        decs.append(dec)
+        decs.append(dec.transpose(1, 0, 2).reshape(B, seg * L))
     dec = decs[0] if len(decs) == 1 else jnp.concatenate(decs, axis=1)
     return (
         DeviceIState(state.astype(jnp.uint32), ptr),
