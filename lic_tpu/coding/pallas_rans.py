@@ -49,9 +49,16 @@ _SRL = jax.lax.shift_right_logical
 # None = AUTO, True/False override.  Consumers read it at TRACE time —
 # set it before building a ChannelCoder.  AUTO currently resolves OFF
 # even on TPU: the kernel is interpret-verified lane-for-lane on CPU,
-# but its Mosaic lowering (dynamic minor-dim window loads, SMEM pointer
-# loops) is gated on scripts/probe_rans_drain.py measuring green on real
-# hardware first — flip _AUTO_ON_TPU once the probe lands.
+# and after the round-4 fixes (integer-only iotas; chunk-major rows/dec;
+# 128-aligned superset window loads) it COMPILES AND RUNS on real v5e —
+# but the 2026-08-19 probe run miscompared values at the L=32 shape
+# (interpret mode is bit-exact; the L=128 native-lane-width case was
+# never reached — probe now runs it first with diff diagnostics).
+# Prime relayout suspects for the hardware-only wrongness: the 1-D
+# (WL,)→(WL,1) reshape feeding the window-select matmul, jnp.stack of
+# 1-D lane vectors, and (B·L,1)→(B,L) reshapes after the lookup dots.
+# Flip _AUTO_ON_TPU only once scripts/probe_rans_drain.py prints
+# PALLAS_DRAIN: OK on hardware.
 _AUTO_ON_TPU = False
 _PALLAS_RANS = {"enabled": None, "interpret": False}
 

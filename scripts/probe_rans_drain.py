@@ -79,9 +79,12 @@ def raw_parity_and_speed():
     cdfs, offsets = g.codec.cdfs, g.codec.offsets
     print(f"tables: {cdfs.shape[0]} rows x {cdfs.shape[1]}")
 
+    failures = []
+    # bench case FIRST: L=128 is the native lane width — the 2026-08-19
+    # run miscompared at L=32 and aborted before ever measuring L=128.
     for tag, b, n, L in (
-        ("small  b1 L32  n=4096 ", 1, 4096, 32),
         ("bench  b8 L128 n=73728", 8, 73728, 128),
+        ("small  b1 L32  n=4096 ", 1, 4096, 32),
     ):
         sym, idx, pay = make_streams(cdfs, offsets, b, n, L, seed=len(tag))
         dev = DeviceRans16Interleaved(cdfs, offsets, L)
@@ -130,7 +133,17 @@ def raw_parity_and_speed():
             f"sym={'OK' if ok_sym else 'DIFF'} state={'OK' if ok_st else 'DIFF'}"
         )
         if not (ok_vals and ok_sym and ok_st):
-            raise AssertionError(f"raw drain parity failed at {tag}")
+            d = np.asarray(dec_p) != np.asarray(dec_s)
+            idx = np.argwhere(d)
+            if idx.size:
+                i0 = tuple(idx[0])
+                print(
+                    f"    ndiff={int(d.sum())}/{d.size}  first at {i0}: "
+                    f"pallas={np.asarray(dec_p)[i0]} scan={np.asarray(dec_s)[i0]}"
+                )
+            failures.append(tag)
+    if failures:
+        raise AssertionError(f"raw drain parity failed at {failures}")
 
 
 def codec_roundtrip():
