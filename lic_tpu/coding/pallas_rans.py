@@ -50,15 +50,17 @@ _SRL = jax.lax.shift_right_logical
 # set it before building a ChannelCoder.  AUTO currently resolves OFF
 # even on TPU: the kernel is interpret-verified lane-for-lane on CPU,
 # and after the round-4 fixes (integer-only iotas; chunk-major rows/dec;
-# 128-aligned superset window loads) it COMPILES AND RUNS on real v5e —
-# but the 2026-08-19 probe run miscompared values at the L=32 shape
-# (interpret mode is bit-exact; the L=128 native-lane-width case was
-# never reached — probe now runs it first with diff diagnostics).
-# Prime relayout suspects for the hardware-only wrongness: the 1-D
-# (WL,)→(WL,1) reshape feeding the window-select matmul, jnp.stack of
-# 1-D lane vectors, and (B·L,1)→(B,L) reshapes after the lookup dots.
-# Flip _AUTO_ON_TPU only once scripts/probe_rans_drain.py prints
-# PALLAS_DRAIN: OK on hardware.
+# 128-aligned superset window loads) it COMPILES AND RUNS on real v5e.
+# The 2026-08-19 probe run miscompared values at the L=32 shape
+# (interpret mode bit-exact) with the then-current mixed (B,L)/(B·L,X)
+# layout full of reshape/stack/1-D-vector relayouts; the kernel was then
+# rewritten into the flattened-lane layout (every tensor (X, B·L),
+# one-hots from dim-0 iota broadcasts, transposed CDF matmuls — zero
+# reshapes/transposes/1-D values in-kernel), which removes every
+# relayout Mosaic had to get right.  Flip _AUTO_ON_TPU only once
+# scripts/probe_rans_drain.py prints PALLAS_DRAIN: OK on hardware
+# (queued; probe now runs the native L=128 case first and prints
+# first-mismatch diagnostics).
 _AUTO_ON_TPU = False
 _PALLAS_RANS = {"enabled": None, "interpret": False}
 
@@ -88,20 +90,20 @@ _SEG_BUDGET_BYTES = 2 * 1024 * 1024
 
 def _drain_kernel(
     s_tot_ref,      # SMEM (1,) int32 — traced symbol count (NS wavefronts)
-    rows_ref,       # (mc, B, L) int32 CDF row per symbol, chunk-major —
+    rows_ref,       # (mc, 1, B·L) int32 CDF row per symbol, chunk-major —
                     # dynamic chunk index rides the LEADING dim (Mosaic
                     # rejects dynamic minor-dim starts not provably
                     # 128-aligned)
     payload_ref,    # (B, W) int32 zero-extended uint16 words
-    state_in_ref,   # (B, L) int32 lane states (uint32 bit pattern)
+    state_in_ref,   # (1, B·L) int32 lane states (uint32 bit pattern)
     ptr_in_ref,     # SMEM (B,) int32 shared word pointer per stream
-    cdf_ref,        # (nrows, row_len) fp32 CDF table
-    off_ref,        # (nrows, 1) fp32 symbol offsets
+    cdf_t_ref,      # (row_len, nrows) fp32 CDF table, TRANSPOSED
+    off_ref,        # (1, nrows) fp32 symbol offsets (row vector)
     lt_ref,         # (L, L) fp32 strict lower-triangular ones (rank matmul)
-    dec_ref,        # out (mc, B, L) int32 decoded values, chunk-major
-    state_out_ref,  # out (B, L) int32
+    dec_ref,        # out (mc, 1, B·L) int32 decoded values, chunk-major
+    state_out_ref,  # out (1, B·L) int32
     ptr_out_ref,    # out SMEM (B,) int32
-    state_s,        # scratch VMEM (B, L) int32
+    state_s,        # scratch VMEM (1, B·L) int32
     ptr_s,          # scratch SMEM (B,) int32
     *,
     B: int,
@@ -113,32 +115,42 @@ def _drain_kernel(
     nsyms: int,
     WL: int,
 ):
-    state_s[:] = state_in_ref[:]
+    # LAYOUT CONTRACT (the hardware-lowering lesson of round 4): every
+    # in-kernel tensor keeps ALL lanes on the minor (lane) dim as
+    # (X, B·L) — streams b-major within the lane dim — and one-hots are
+    # built by broadcasting a (1, B·L) row against a dim-0 iota.  There
+    # are NO reshapes, NO transposes, NO 1-D vectors and NO stacks of
+    # them anywhere inside the kernel: Mosaic lowers relayout-free
+    # elementwise/broadcast/reduce ops and plain 2-D matmuls only.
+    BL = B * L
+    state_s[...] = state_in_ref[...]
     # zero dec: chunks past s_tot are pl.when-skipped, and the scan path
     # this replaces returned zeros for them
-    dec_ref[:] = jnp.zeros((mc, B, L), jnp.int32)
+    dec_ref[...] = jnp.zeros((mc, 1, BL), jnp.int32)
     for b in range(B):
         ptr_s[b] = ptr_in_ref[b]
 
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     # Mosaic's tpu.iota is integer-only, and it FOLDS convert(int-iota)
     # back into a float tpu.iota during lowering (verifier error seen on
     # real TPU).  Keep every iota int32 and do the one-hot comparisons in
     # integers; only the comparison RESULT is cast to f32 for the MXU.
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (L, WL), 1)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (B * L, nrows), 1)
-    len_iota = jax.lax.broadcasted_iota(jnp.int32, (B * L, row_len), 1)
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, (1, BL), 1)
+    lane_in_stream = lane_g - (lane_g // L) * L   # position within stream
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (WL, L), 0)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (nrows, BL), 0)
+    len_iota = jax.lax.broadcasted_iota(jnp.int32, (row_len, BL), 0)
     s_tot = s_tot_ref[0]
 
     def window_renorm(state, need):
-        """state (B,L) int32, need (B,L) bool → new state; advances ptr_s."""
+        """state/need (1, B·L) → new state; advances ptr_s."""
         need_f = need.astype(jnp.float32)
-        # exclusive prefix count of needing lanes = strict-LT matmul
-        rank = jnp.dot(
-            need_f, lt_ref[:], preferred_element_type=jnp.float32
-        ).astype(jnp.int32)  # (B, L) — counts ≤ L are fp32-exact
         ws = []
         for b in range(B):
+            # exclusive prefix count of needing lanes = strict-LT matmul
+            nb = need_f[:, b * L:(b + 1) * L]            # (1, L) static
+            rank_b = jnp.dot(
+                nb, lt_ref[...], preferred_element_type=jnp.float32
+            ).astype(jnp.int32)                          # (1, L), exact
             # Mosaic requires dynamic minor-dim load starts provably
             # 128-aligned: load the aligned superset window [ptr_al,
             # ptr_al+WL) and fold the misalignment offset into the
@@ -148,20 +160,18 @@ def _drain_kernel(
             ptr_al = pl.multiple_of(
                 jnp.minimum((ptr_b // 128) * 128, W - WL), 128
             )
-            win_b = payload_ref[b, pl.ds(ptr_al, WL)].astype(
+            win_b = payload_ref[pl.ds(b, 1), pl.ds(ptr_al, WL)].astype(
                 jnp.float32
-            )  # words < 2^16: fp32-exact
-            tgt = rank[b][:, None] + (ptr_b - ptr_al)  # (L, 1)
-            sel_b = (
-                (tgt == w_iota).astype(jnp.float32)
-                * need_f[b][:, None]
-            )  # (L, WL)
-            ws.append(
-                jnp.dot(sel_b, win_b[:, None],
-                        preferred_element_type=jnp.float32)[:, 0]
-            )
-            ptr_s[b] = ptr_s[b] + jnp.sum(need_f[b]).astype(jnp.int32)
-        w = jnp.stack(ws).astype(jnp.int32)  # (B, L)
+            )                                            # (1, WL) exact
+            tgt = rank_b + (ptr_b - ptr_al)              # (1, L)
+            # non-needing lanes alias a needing lane's rank and pick up a
+            # garbage word here — discarded by the where() below
+            oh = (w_iota == tgt).astype(jnp.float32)     # (WL, L)
+            ws.append(jnp.dot(
+                win_b, oh, preferred_element_type=jnp.float32
+            ))                                           # (1, L)
+            ptr_s[b] = ptr_b + jnp.sum(nb).astype(jnp.int32)
+        w = jnp.concatenate(ws, axis=1).astype(jnp.int32)  # (1, B·L)
         return jnp.where(need, (state << 16) | w, state)
 
     def renorm_phase(state, active):
@@ -177,35 +187,33 @@ def _drain_kernel(
     def chunk_body(i, _):
         @pl.when(i * L < s_tot)
         def _():
-            state = state_s[:]
-            rows = rows_ref[i]  # (B, L)
-            valid = (i * L + lane_iota) < s_tot
+            state = state_s[...]
+            rows = rows_ref[i]  # (1, B·L)
+            valid = (i * L + lane_in_stream) < s_tot
             cum = state & 0xFFFF
 
-            # CDF row lookup as one-hot matmuls (fp32-exact: values < 2^16)
-            oh_rows = (
-                rows.reshape(B * L, 1) == row_iota
-            ).astype(jnp.float32)
+            # CDF row lookup as one-hot matmuls (fp32-exact: values < 2^16);
+            # one-hot = dim-0 iota vs the (1, B·L) row, no reshapes
+            oh_rows = (row_iota == rows).astype(jnp.float32)  # (nrows, B·L)
             row_f = jnp.dot(
-                oh_rows, cdf_ref[:], preferred_element_type=jnp.float32
-            )  # (B·L, row_len)
+                cdf_t_ref[...], oh_rows,
+                preferred_element_type=jnp.float32,
+            )  # (row_len, B·L)
             off = jnp.dot(
-                oh_rows, off_ref[:], preferred_element_type=jnp.float32
-            ).reshape(B, L).astype(jnp.int32)
+                off_ref[...], oh_rows, preferred_element_type=jnp.float32
+            ).astype(jnp.int32)  # (1, B·L)
 
-            cum_f = cum.reshape(B * L, 1).astype(jnp.float32)
-            le = (row_f <= cum_f).astype(jnp.float32)
+            le = (row_f <= cum.astype(jnp.float32)).astype(jnp.float32)
             # counts ≤ row_len (131) are fp32-exact → int slot is exact
-            slot_i = (
-                jnp.sum(le, axis=-1, keepdims=True) - 1.0  # cdf[0]=0
-            ).astype(jnp.int32)
-            slot_i = jnp.minimum(slot_i, nsyms)
+            slot = (
+                jnp.sum(le, axis=0, keepdims=True) - 1.0  # cdf[0]=0
+            ).astype(jnp.int32)  # (1, B·L)
+            slot = jnp.minimum(slot, nsyms)
             # start = cdf[slot], nxt = cdf[slot+1] — one-hot selects
-            oh_slot = (len_iota == slot_i).astype(jnp.float32)
-            start = jnp.sum(row_f * oh_slot, axis=-1).reshape(B, L)
-            oh_nxt = (len_iota == slot_i + 1).astype(jnp.float32)
-            nxt = jnp.sum(row_f * oh_nxt, axis=-1).reshape(B, L)
-            slot = slot_i.reshape(B, L)
+            oh_slot = (len_iota == slot).astype(jnp.float32)
+            start = jnp.sum(row_f * oh_slot, axis=0, keepdims=True)
+            oh_nxt = (len_iota == slot + 1).astype(jnp.float32)
+            nxt = jnp.sum(row_f * oh_nxt, axis=0, keepdims=True)
             freq = (nxt - start).astype(jnp.int32)
             start_i = start.astype(jnp.int32)
 
@@ -213,7 +221,7 @@ def _drain_kernel(
             ns = freq * _SRL(state, 16) + (cum - start_i)
             state = jnp.where(valid, ns, state)
             state = renorm_phase(state, valid)
-            state_s[:] = state
+            state_s[...] = state
 
             vals = jnp.where(valid, slot + off, 0)
             dec_ref[i] = vals
@@ -222,15 +230,15 @@ def _drain_kernel(
 
             @pl.when(jnp.any(esc))
             def _esc():
-                st = state_s[:]
+                st = state_s[...]
                 cnt, st = get_bits4(st, esc)
                 cnt = cnt + 1
-                u = jnp.zeros((B, L), jnp.int32)
+                u = jnp.zeros((1, B * L), jnp.int32)
                 for k in range(8):
                     active = esc & (k < cnt)
                     d, st = get_bits4(st, active)
                     u = jnp.where(active, (u << 4) | d, u)
-                state_s[:] = st
+                state_s[...] = st
                 # unzigzag with logical shift (matches the C++ mirror for
                 # |delta| >= 2^30)
                 delta = _SRL(u, 1) ^ (-(u & 1))
@@ -240,7 +248,7 @@ def _drain_kernel(
         return 0
 
     jax.lax.fori_loop(0, mc, chunk_body, 0)
-    state_out_ref[:] = state_s[:]
+    state_out_ref[...] = state_s[...]
     for b in range(B):
         ptr_out_ref[b] = ptr_s[b]
 
@@ -259,8 +267,8 @@ def _build_drain(B, L, mc, W, nrows, row_len, nsyms, WL, interpret):
         return pl.pallas_call(
             kernel,
             out_shape=(
-                jax.ShapeDtypeStruct((mc, B, L), jnp.int32),
-                jax.ShapeDtypeStruct((B, L), jnp.int32),
+                jax.ShapeDtypeStruct((mc, 1, B * L), jnp.int32),
+                jax.ShapeDtypeStruct((1, B * L), jnp.int32),
                 jax.ShapeDtypeStruct((B,), jnp.int32),
             ),
             in_specs=[
@@ -275,7 +283,7 @@ def _build_drain(B, L, mc, W, nrows, row_len, nsyms, WL, interpret):
             ],
             out_specs=(vmem(), vmem(), smem()),
             scratch_shapes=[
-                pltpu.VMEM((B, L), jnp.int32),
+                pltpu.VMEM((1, B * L), jnp.int32),
                 pltpu.SMEM((B,), jnp.int32),
             ],
             interpret=interpret,
@@ -315,15 +323,15 @@ def pallas_drain(dev, lanes, payload, rows_flat, s_tot, interpret=None):
     W0 = payload.shape[1]
     W = -(-(W0 + WL) // 128) * 128
     payload = jnp.pad(payload.astype(jnp.int32), ((0, 0), (0, W - W0)))
-    cdf_f = dev.cdf_rows.astype(jnp.float32)
-    off_f = dev.offsets.astype(jnp.float32).reshape(-1, 1)
+    cdf_t = dev.cdf_rows.astype(jnp.float32).T  # (row_len, nrows)
+    off_f = dev.offsets.astype(jnp.float32).reshape(1, -1)
     # rank_j = Σ_k need_k·M[k,j] must count lanes BEFORE j ⇒ M[k,j]=1 iff k<j
     lt = jnp.asarray(np.triu(np.ones((L, L), np.float32), k=1))
     rows_pad = jnp.pad(rows_flat, ((0, 0), (0, mc * L - S)))
 
     seg_mc = max(1, _SEG_BUDGET_BYTES // (B * L * 4 * 2))
     payload = payload.astype(jnp.int32)
-    state = lanes.state.astype(jnp.int32)
+    state = lanes.state.astype(jnp.int32).reshape(1, B * L)
     ptr = lanes.ptr.astype(jnp.int32)
     s_tot = jnp.asarray(s_tot, jnp.int32)
     decs = []
@@ -340,15 +348,18 @@ def pallas_drain(dev, lanes, payload, rows_flat, s_tot, interpret=None):
             jax.lax.slice_in_dim(rows_pad, seg_start * L,
                                  (seg_start + seg) * L, axis=1)
             .reshape(B, seg, L)
-            .transpose(1, 0, 2)  # chunk-major for the kernel
+            .transpose(1, 0, 2)          # chunk-major
+            .reshape(seg, 1, B * L)      # flattened-lane kernel layout
         )
         dec, state, ptr = run(
             s_loc.reshape(1), rows_seg,
-            payload, state, ptr, cdf_f, off_f, lt,
+            payload, state, ptr, cdf_t, off_f, lt,
         )
-        decs.append(dec.transpose(1, 0, 2).reshape(B, seg * L))
+        decs.append(
+            dec.reshape(seg, B, L).transpose(1, 0, 2).reshape(B, seg * L)
+        )
     dec = decs[0] if len(decs) == 1 else jnp.concatenate(decs, axis=1)
     return (
-        DeviceIState(state.astype(jnp.uint32), ptr),
+        DeviceIState(state.reshape(B, L).astype(jnp.uint32), ptr),
         dec[:, :S],
     )
