@@ -275,7 +275,7 @@ def _drain_scan(dev, lanes, pay, rows_flat, s_tot):
 
 
 @pytest.mark.parametrize("with_escapes", [False, True])
-@pytest.mark.parametrize("n_lanes", [8, 32])
+@pytest.mark.parametrize("n_lanes", [8, 32, 64, 128])
 def test_pallas_drain_matches_scan(tables, with_escapes, n_lanes):
     """Whole-drain pallas kernel (interpret mode) is lane-for-lane equal
     to the chunked decode_chunk scan: values, final states, pointers."""
