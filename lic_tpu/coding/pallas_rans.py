@@ -51,16 +51,18 @@ _SRL = jax.lax.shift_right_logical
 # even on TPU: the kernel is interpret-verified lane-for-lane on CPU,
 # and after the round-4 fixes (integer-only iotas; chunk-major rows/dec;
 # 128-aligned superset window loads) it COMPILES AND RUNS on real v5e.
-# The 2026-08-19 probe run miscompared values at the L=32 shape
-# (interpret mode bit-exact) with the then-current mixed (B,L)/(B·L,X)
-# layout full of reshape/stack/1-D-vector relayouts; the kernel was then
-# rewritten into the flattened-lane layout (every tensor (X, B·L),
-# one-hots from dim-0 iota broadcasts, transposed CDF matmuls — zero
-# reshapes/transposes/1-D values in-kernel), which removes every
-# relayout Mosaic had to get right.  Flip _AUTO_ON_TPU only once
-# scripts/probe_rans_drain.py prints PALLAS_DRAIN: OK on hardware
-# (queued; probe now runs the native L=128 case first and prints
-# first-mismatch diagnostics).
+# Hardware-wrongness hunt (probe diagnostics, 2026-08-19): the mixed
+# (B,L)/(B·L,X) layout miscompared; the flattened-lane rewrite (every
+# tensor (X, B·L), zero in-kernel relayouts) still miscompared — but
+# with slot components EXACT and offset components ZERO, isolating the
+# bug to matmuls with a unit dimension ((1,nrows)@(nrows,B·L) returned
+# zeros while (row_len,nrows)@(nrows,B·L) was exact in the same chunk).
+# Unit-dim matmuls are now eliminated (elementwise+reduce for offsets,
+# 8-sublane broadcast padding for rank/window selects).  Measured drain
+# speed at the bench shape while still miscomparing: 86.1 → 9.0 ms
+# (9.6× over the scan) — the prize once parity lands.  Flip
+# _AUTO_ON_TPU only once scripts/probe_rans_drain.py prints
+# PALLAS_DRAIN: OK on hardware (queued).
 _AUTO_ON_TPU = False
 _PALLAS_RANS = {"enabled": None, "interpret": False}
 
@@ -98,7 +100,7 @@ def _drain_kernel(
     state_in_ref,   # (1, B·L) int32 lane states (uint32 bit pattern)
     ptr_in_ref,     # SMEM (B,) int32 shared word pointer per stream
     cdf_t_ref,      # (row_len, nrows) fp32 CDF table, TRANSPOSED
-    off_ref,        # (1, nrows) fp32 symbol offsets (row vector)
+    off_ref,        # (nrows, 1) fp32 symbol offsets (column)
     lt_ref,         # (L, L) fp32 strict lower-triangular ones (rank matmul)
     dec_ref,        # out (mc, 1, B·L) int32 decoded values, chunk-major
     state_out_ref,  # out (1, B·L) int32
@@ -115,13 +117,20 @@ def _drain_kernel(
     nsyms: int,
     WL: int,
 ):
-    # LAYOUT CONTRACT (the hardware-lowering lesson of round 4): every
+    # LAYOUT CONTRACT (the hardware-lowering lessons of round 4): every
     # in-kernel tensor keeps ALL lanes on the minor (lane) dim as
     # (X, B·L) — streams b-major within the lane dim — and one-hots are
     # built by broadcasting a (1, B·L) row against a dim-0 iota.  There
     # are NO reshapes, NO transposes, NO 1-D vectors and NO stacks of
     # them anywhere inside the kernel: Mosaic lowers relayout-free
     # elementwise/broadcast/reduce ops and plain 2-D matmuls only.
+    # ADDITIONALLY: no matmul may have a unit dimension — the 2026-08-19
+    # 17:06 hardware probe showed (1, nrows)@(nrows, B·L) returning
+    # zeros (decoded value = slot with the offset component missing)
+    # while the (row_len, nrows)@(nrows, B·L) lookup in the same chunk
+    # was exact.  Degenerate operands are padded to 8 sublanes via
+    # broadcast_to (row 0 sliced after) or replaced by elementwise
+    # broadcast + sublane reductions.
     BL = B * L
     state_s[...] = state_in_ref[...]
     # zero dec: chunks past s_tot are pl.when-skipped, and the scan path
@@ -149,8 +158,9 @@ def _drain_kernel(
             # exclusive prefix count of needing lanes = strict-LT matmul
             nb = need_f[:, b * L:(b + 1) * L]            # (1, L) static
             rank_b = jnp.dot(
-                nb, lt_ref[...], preferred_element_type=jnp.float32
-            ).astype(jnp.int32)                          # (1, L), exact
+                jnp.broadcast_to(nb, (8, L)), lt_ref[...],
+                preferred_element_type=jnp.float32,
+            )[0:1].astype(jnp.int32)                     # (1, L), exact
             # Mosaic requires dynamic minor-dim load starts provably
             # 128-aligned: load the aligned superset window [ptr_al,
             # ptr_al+WL) and fold the misalignment offset into the
@@ -168,8 +178,9 @@ def _drain_kernel(
             # garbage word here — discarded by the where() below
             oh = (w_iota == tgt).astype(jnp.float32)     # (WL, L)
             ws.append(jnp.dot(
-                win_b, oh, preferred_element_type=jnp.float32
-            ))                                           # (1, L)
+                jnp.broadcast_to(win_b, (8, WL)), oh,
+                preferred_element_type=jnp.float32,
+            )[0:1])                                      # (1, L)
             ptr_s[b] = ptr_b + jnp.sum(nb).astype(jnp.int32)
         w = jnp.concatenate(ws, axis=1).astype(jnp.int32)  # (1, B·L)
         return jnp.where(need, (state << 16) | w, state)
@@ -199,8 +210,10 @@ def _drain_kernel(
                 cdf_t_ref[...], oh_rows,
                 preferred_element_type=jnp.float32,
             )  # (row_len, B·L)
-            off = jnp.dot(
-                off_ref[...], oh_rows, preferred_element_type=jnp.float32
+            # offsets via elementwise broadcast + sublane reduce (the
+            # exact path slot takes) — NOT an M=1 matmul, see above
+            off = jnp.sum(
+                off_ref[...] * oh_rows, axis=0, keepdims=True
             ).astype(jnp.int32)  # (1, B·L)
 
             le = (row_f <= cum.astype(jnp.float32)).astype(jnp.float32)
@@ -324,7 +337,7 @@ def pallas_drain(dev, lanes, payload, rows_flat, s_tot, interpret=None):
     W = -(-(W0 + WL) // 128) * 128
     payload = jnp.pad(payload.astype(jnp.int32), ((0, 0), (0, W - W0)))
     cdf_t = dev.cdf_rows.astype(jnp.float32).T  # (row_len, nrows)
-    off_f = dev.offsets.astype(jnp.float32).reshape(1, -1)
+    off_f = dev.offsets.astype(jnp.float32).reshape(-1, 1)
     # rank_j = Σ_k need_k·M[k,j] must count lanes BEFORE j ⇒ M[k,j]=1 iff k<j
     lt = jnp.asarray(np.triu(np.ones((L, L), np.float32), k=1))
     rows_pad = jnp.pad(rows_flat, ((0, 0), (0, mc * L - S)))
