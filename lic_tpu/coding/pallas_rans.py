@@ -99,7 +99,8 @@ def _drain_kernel(
     payload_ref,    # (B, W) int32 zero-extended uint16 words
     state_in_ref,   # (1, B·L) int32 lane states (uint32 bit pattern)
     ptr_in_ref,     # SMEM (B,) int32 shared word pointer per stream
-    cdf_t_ref,      # (row_len, nrows) fp32 CDF table, TRANSPOSED
+    cdf_hi_ref,     # (row_len, nrows) fp32 = cdf >> 8, TRANSPOSED
+    cdf_lo_ref,     # (row_len, nrows) fp32 = cdf & 255, TRANSPOSED
     off_ref,        # (nrows, 1) fp32 symbol offsets (column)
     lt_ref,         # (L, L) fp32 strict lower-triangular ones (rank matmul)
     dec_ref,        # out (mc, 1, B·L) int32 decoded values, chunk-major
@@ -124,13 +125,14 @@ def _drain_kernel(
     # are NO reshapes, NO transposes, NO 1-D vectors and NO stacks of
     # them anywhere inside the kernel: Mosaic lowers relayout-free
     # elementwise/broadcast/reduce ops and plain 2-D matmuls only.
-    # ADDITIONALLY: no matmul may have a unit dimension — the 2026-08-19
-    # 17:06 hardware probe showed (1, nrows)@(nrows, B·L) returning
-    # zeros (decoded value = slot with the offset component missing)
-    # while the (row_len, nrows)@(nrows, B·L) lookup in the same chunk
-    # was exact.  Degenerate operands are padded to 8 sublanes via
-    # broadcast_to (row 0 sliced after) or replaced by elementwise
-    # broadcast + sublane reductions.
+    # ADDITIONALLY (probe_mosaic_prims P6, 2026-08-19 17:40): the v5e
+    # MXU multiplies f32 matmuls in bf16 passes at default precision —
+    # one-hot 0/1 operands survive, but ≥9-bit values (CDF entries,
+    # payload words < 2^16) get mantissa-truncated (start read 61440
+    # where the table held 61400).  Every one-hot select of a 16-bit
+    # value therefore runs as TWO matmuls over bf16-exact byte halves,
+    # recombined as 256·hi + lo — exact by construction.  (The rank
+    # matmul's operands are 0/1 with sums ≤ L, already bf16-exact.)
     BL = B * L
     state_s[...] = state_in_ref[...]
     # zero dec: chunks past s_tot are pl.when-skipped, and the scan path
@@ -170,17 +172,18 @@ def _drain_kernel(
             ptr_al = pl.multiple_of(
                 jnp.minimum((ptr_b // 128) * 128, W - WL), 128
             )
-            win_b = payload_ref[pl.ds(b, 1), pl.ds(ptr_al, WL)].astype(
-                jnp.float32
-            )                                            # (1, WL) exact
+            win_i = payload_ref[pl.ds(b, 1), pl.ds(ptr_al, WL)]  # (1, WL)
+            win_hi = _SRL(win_i, 8).astype(jnp.float32)  # < 256: bf16-exact
+            win_lo = (win_i & 255).astype(jnp.float32)
             tgt = rank_b + (ptr_b - ptr_al)              # (1, L)
             # non-needing lanes alias a needing lane's rank and pick up a
             # garbage word here — discarded by the where() below
             oh = (w_iota == tgt).astype(jnp.float32)     # (WL, L)
-            ws.append(jnp.dot(
-                jnp.broadcast_to(win_b, (8, WL)), oh,
+            sel = lambda v: jnp.dot(
+                jnp.broadcast_to(v, (8, WL)), oh,
                 preferred_element_type=jnp.float32,
-            )[0:1])                                      # (1, L)
+            )[0:1]                                       # (1, L)
+            ws.append(256.0 * sel(win_hi) + sel(win_lo))
             ptr_s[b] = ptr_b + jnp.sum(nb).astype(jnp.int32)
         w = jnp.concatenate(ws, axis=1).astype(jnp.int32)  # (1, B·L)
         return jnp.where(need, (state << 16) | w, state)
@@ -206,10 +209,13 @@ def _drain_kernel(
             # CDF row lookup as one-hot matmuls (fp32-exact: values < 2^16);
             # one-hot = dim-0 iota vs the (1, B·L) row, no reshapes
             oh_rows = (row_iota == rows).astype(jnp.float32)  # (nrows, B·L)
-            row_f = jnp.dot(
-                cdf_t_ref[...], oh_rows,
+            row_f = 256.0 * jnp.dot(
+                cdf_hi_ref[...], oh_rows,
                 preferred_element_type=jnp.float32,
-            )  # (row_len, B·L)
+            ) + jnp.dot(
+                cdf_lo_ref[...], oh_rows,
+                preferred_element_type=jnp.float32,
+            )  # (row_len, B·L), exact: byte-split beats MXU bf16 passes
             # offsets via elementwise broadcast + sublane reduce (the
             # exact path slot takes) — NOT an M=1 matmul, see above
             off = jnp.sum(
@@ -276,7 +282,8 @@ def _build_drain(B, L, mc, W, nrows, row_len, nsyms, WL, interpret):
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    def run(s_tot, rows_pad, payload, state, ptr, cdf_f, off_f, lt):
+    def run(s_tot, rows_pad, payload, state, ptr, cdf_hi, cdf_lo, off_f,
+            lt):
         return pl.pallas_call(
             kernel,
             out_shape=(
@@ -290,7 +297,8 @@ def _build_drain(B, L, mc, W, nrows, row_len, nsyms, WL, interpret):
                 vmem(),  # payload
                 vmem(),  # state in
                 smem(),  # ptr in
-                vmem(),  # cdf
+                vmem(),  # cdf hi bytes
+                vmem(),  # cdf lo bytes
                 vmem(),  # offsets
                 vmem(),  # lower-triangular
             ],
@@ -300,7 +308,7 @@ def _build_drain(B, L, mc, W, nrows, row_len, nsyms, WL, interpret):
                 pltpu.SMEM((B,), jnp.int32),
             ],
             interpret=interpret,
-        )(s_tot, rows_pad, payload, state, ptr, cdf_f, off_f, lt)
+        )(s_tot, rows_pad, payload, state, ptr, cdf_hi, cdf_lo, off_f, lt)
 
     return run
 
@@ -336,8 +344,26 @@ def pallas_drain(dev, lanes, payload, rows_flat, s_tot, interpret=None):
     W0 = payload.shape[1]
     W = -(-(W0 + WL) // 128) * 128
     payload = jnp.pad(payload.astype(jnp.int32), ((0, 0), (0, W - W0)))
-    cdf_t = dev.cdf_rows.astype(jnp.float32).T  # (row_len, nrows)
-    off_f = dev.offsets.astype(jnp.float32).reshape(-1, 1)
+    # SUBLANE-PAD CONTRACT (probe_mosaic_prims, 2026-08-19 17:40): on
+    # real v5e, reductions/compares whose dim-0 is not a multiple of 8
+    # sublanes read the tile's PAD sublanes — zeros in interpret mode,
+    # garbage on silicon (P6: the off reduce over nrows=64 was exact
+    # while slot/start/nxt over row_len=131 were wrong).  Pad both table
+    # dims to multiples of 8 with a too-big sentinel so `cdf ≤ cum`
+    # (cum < 2^16) is false on pads and every reduction sees only
+    # well-defined values.
+    # BYTE-SPLIT CONTRACT (see kernel header): CDF values < 2^17 ship as
+    # bf16-exact hi/lo byte planes; the sentinel 1<<17 (hi=512, lo=0)
+    # reconstructs to 131072 > any cum, keeping padded rows unselectable.
+    row_len_p = -(-dev.row_len // 8) * 8
+    nrows_p = -(-dev.rows // 8) * 8
+    cdf_np = np.full((row_len_p, nrows_p), 1 << 17, np.int64)
+    cdf_np[:dev.row_len, :dev.rows] = np.asarray(dev.cdf_rows, np.int64).T
+    cdf_hi = jnp.asarray((cdf_np >> 8).astype(np.float32))
+    cdf_lo = jnp.asarray((cdf_np & 255).astype(np.float32))
+    off_np = np.zeros((nrows_p, 1), np.float32)
+    off_np[:dev.rows, 0] = np.asarray(dev.offsets, np.float32)
+    off_f = jnp.asarray(off_np)
     # rank_j = Σ_k need_k·M[k,j] must count lanes BEFORE j ⇒ M[k,j]=1 iff k<j
     lt = jnp.asarray(np.triu(np.ones((L, L), np.float32), k=1))
     rows_pad = jnp.pad(rows_flat, ((0, 0), (0, mc * L - S)))
@@ -351,7 +377,7 @@ def pallas_drain(dev, lanes, payload, rows_flat, s_tot, interpret=None):
     for seg_start in range(0, mc, seg_mc):
         seg = min(seg_mc, mc - seg_start)
         run = _build_drain(
-            B, L, seg, W, dev.rows, dev.row_len, dev.nsyms, WL,
+            B, L, seg, W, nrows_p, row_len_p, dev.nsyms, WL,
             bool(interpret),
         )
         # local symbol budget for this segment (traced; clamps at 0 make
@@ -366,7 +392,7 @@ def pallas_drain(dev, lanes, payload, rows_flat, s_tot, interpret=None):
         )
         dec, state, ptr = run(
             s_loc.reshape(1), rows_seg,
-            payload, state, ptr, cdf_t, off_f, lt,
+            payload, state, ptr, cdf_hi, cdf_lo, off_f, lt,
         )
         decs.append(
             dec.reshape(seg, B, L).transpose(1, 0, 2).reshape(B, seg * L)

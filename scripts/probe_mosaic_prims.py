@@ -237,6 +237,51 @@ def main():
         print(f"  P6: ERROR {type(e).__name__}: {e}")
         results.append(("P6", False))
 
+    # ---- P6s: same pipeline, byte-split matmuls (the fix) ----------------
+    # P6's failure values are bf16-ROUNDED table entries (61400 -> 61440):
+    # the MXU runs f32 matmuls as bf16 passes at default precision.  Split
+    # the 16-bit table into bf16-exact byte planes, two matmuls, recombine.
+    cdf_hi = (cdfs >> 8).astype(np.float32).T
+    cdf_lo = (cdfs & 255).astype(np.float32).T
+
+    def k6s(rows_ref, cum_ref, hi_ref, lo_ref, slot_ref, start_ref,
+            nxt_ref):
+        ri = jax.lax.broadcasted_iota(jnp.int32, (nrows, BL), 0)
+        li = jax.lax.broadcasted_iota(jnp.int32, (row_len, BL), 0)
+        oh = (ri == rows_ref[...]).astype(jnp.float32)
+        row_f = 256.0 * jnp.dot(
+            hi_ref[...], oh, preferred_element_type=jnp.float32
+        ) + jnp.dot(lo_ref[...], oh, preferred_element_type=jnp.float32)
+        le = (row_f <= cum_ref[...].astype(jnp.float32)).astype(jnp.float32)
+        slot = (jnp.sum(le, axis=0, keepdims=True) - 1.0).astype(jnp.int32)
+        slot = jnp.minimum(slot, nsyms)
+        oh_s = (li == slot).astype(jnp.float32)
+        start = jnp.sum(row_f * oh_s, axis=0, keepdims=True)
+        oh_n = (li == slot + 1).astype(jnp.float32)
+        nxt = jnp.sum(row_f * oh_n, axis=0, keepdims=True)
+        slot_ref[...] = slot
+        start_ref[...] = start.astype(jnp.int32)
+        nxt_ref[...] = nxt.astype(jnp.int32)
+
+    try:
+        slot_o, start_o, nxt_o = pcall(
+            k6s,
+            out_shape=(
+                jax.ShapeDtypeStruct((1, BL), jnp.int32),
+                jax.ShapeDtypeStruct((1, BL), jnp.int32),
+                jax.ShapeDtypeStruct((1, BL), jnp.int32),
+            ),
+            in_specs=[vmem()] * 4,
+            out_specs=(vmem(),) * 3,
+        )(jnp.asarray(rows_c), jnp.asarray(cum_c), jnp.asarray(cdf_hi),
+          jnp.asarray(cdf_lo))
+        check("P6s slot (byte-split)", slot_o[0], slot_np)
+        check("P6s start (byte-split)", start_o[0], start_np)
+        check("P6s nxt (byte-split)", nxt_o[0], nxt_np)
+    except Exception as e:
+        print(f"  P6s: ERROR {type(e).__name__}: {e}")
+        results.append(("P6s", False))
+
     # ---- P7: VMEM scratch RMW across fori_loop ---------------------------
     def k7(out_ref, acc):
         acc[...] = jnp.zeros((1, N), jnp.int32)
