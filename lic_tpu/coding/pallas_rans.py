@@ -51,19 +51,19 @@ _SRL = jax.lax.shift_right_logical
 # even on TPU: the kernel is interpret-verified lane-for-lane on CPU,
 # and after the round-4 fixes (integer-only iotas; chunk-major rows/dec;
 # 128-aligned superset window loads) it COMPILES AND RUNS on real v5e.
-# Hardware-wrongness hunt (probe diagnostics, 2026-08-19): the mixed
-# (B,L)/(B·L,X) layout miscompared; the flattened-lane rewrite (every
-# tensor (X, B·L), zero in-kernel relayouts) still miscompared — but
-# with slot components EXACT and offset components ZERO, isolating the
-# bug to matmuls with a unit dimension ((1,nrows)@(nrows,B·L) returned
-# zeros while (row_len,nrows)@(nrows,B·L) was exact in the same chunk).
-# Unit-dim matmuls are now eliminated (elementwise+reduce for offsets,
-# 8-sublane broadcast padding for rank/window selects).  Measured drain
-# speed at the bench shape while still miscomparing: 86.1 → 9.0 ms
-# (9.6× over the scan) — the prize once parity lands.  Flip
-# _AUTO_ON_TPU only once scripts/probe_rans_drain.py prints
-# PALLAS_DRAIN: OK on hardware (queued).
-_AUTO_ON_TPU = False
+# Hardware-wrongness hunt (probe_mosaic_prims + probe_rans_drain,
+# 2026-08-19): interpret mode was always bit-exact; on silicon three
+# kernel variants failed identically.  The primitive-isolation probe
+# pinned it: the v5e MXU runs f32 matmuls in bf16 passes at default
+# precision, so one-hot selects of 16-bit CDF/payload values came back
+# bf16-ROUNDED (P6 start read 61440 for a table value of 61400) while
+# every other primitive (dynamic leading-dim reads, dim-0 iotas,
+# one-hot+reduce, scratch RMW loops, SMEM pointer loops) was exact.
+# With byte-split selects (P6s) the kernel is bit-exact on hardware:
+# probe_rans_drain 18:06 prints vals/sym/state OK at both shapes, the
+# raw drain is 7.7× the scan at the bench shape (86.2 → 11.2 ms), and
+# the whole-codec roundtrip through the kernel is BITEXACT.
+_AUTO_ON_TPU = True
 _PALLAS_RANS = {"enabled": None, "interpret": False}
 
 
