@@ -341,8 +341,14 @@ def pallas_drain(dev, lanes, payload, rows_flat, s_tot, interpret=None):
     # kernel loads WL words from a 128-aligned start ≤ ptr; pad payload
     # so every such window is in bounds and W is a multiple of 128.
     WL = 128 + -(-L // 128) * 128
+    # COMPILE-SHAPE BUCKETING: every distinct (mc, W) used to compile a
+    # fresh Mosaic executable (minutes each on the 1-vCPU host).  Round
+    # the payload width up to 4 Ki-word buckets (zeros past the stream
+    # are never *selected* — decode consumes exactly the encoded words)
+    # and pad the chunk count to a whole number of segments below, so
+    # one compiled shape serves a whole family of image sizes.
     W0 = payload.shape[1]
-    W = -(-(W0 + WL) // 128) * 128
+    W = -(-(W0 + WL) // 4096) * 4096
     payload = jnp.pad(payload.astype(jnp.int32), ((0, 0), (0, W - W0)))
     # SUBLANE-PAD CONTRACT (probe_mosaic_prims, 2026-08-19 17:40): on
     # real v5e, reductions/compares whose dim-0 is not a multiple of 8
@@ -366,9 +372,17 @@ def pallas_drain(dev, lanes, payload, rows_flat, s_tot, interpret=None):
     off_f = jnp.asarray(off_np)
     # rank_j = Σ_k need_k·M[k,j] must count lanes BEFORE j ⇒ M[k,j]=1 iff k<j
     lt = jnp.asarray(np.triu(np.ones((L, L), np.float32), k=1))
-    rows_pad = jnp.pad(rows_flat, ((0, 0), (0, mc * L - S)))
 
     seg_mc = max(1, _SEG_BUDGET_BYTES // (B * L * 4 * 2))
+    # bucket mc: below one segment, the next power of two (≤2× skipped
+    # chunks, log-many shapes); above, whole segments so every segment
+    # call shares ONE compiled shape.  Padded chunks pl.when-skip via
+    # the s_loc clamp.
+    if mc < seg_mc:
+        mc = 1 << (mc - 1).bit_length()
+    else:
+        mc = -(-mc // seg_mc) * seg_mc
+    rows_pad = jnp.pad(rows_flat, ((0, 0), (0, mc * L - S)))
     payload = payload.astype(jnp.int32)
     state = lanes.state.astype(jnp.int32).reshape(1, B * L)
     ptr = lanes.ptr.astype(jnp.int32)
