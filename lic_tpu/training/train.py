@@ -197,10 +197,28 @@ def make_train_step(
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             state.params, batch, key, rate, lmbda
         )
+        # Skip-step guard: a single non-finite batch (bf16 training at
+        # the early-step stability edge — two fresh runs with identical
+        # seeds diverged NaN-vs-fine within 500 steps, chain7.log
+        # 2026-08-19) must not poison params/optimizer state.  Apply
+        # the update only when every gradient is finite; a skipped step
+        # keeps params+opt_state but still advances rng/step so the
+        # data order is unchanged.  Strictly more robust than the
+        # reference's abort-on-first-NaN (train_net_unet.py:189-190);
+        # persistent divergence still aborts in the epoch loop below.
+        finite = jax.tree_util.tree_reduce(
+            lambda a, g: a & jnp.all(jnp.isfinite(g)),
+            grads, jnp.bool_(True),
+        )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
+        params, opt_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old),
+            (params, opt_state), (state.params, state.opt_state),
+        )
+        metrics["skipped"] = (~finite).astype(jnp.float32)
         return (
             state.replace(
                 step=state.step + 1, params=params, opt_state=opt_state, rng=rng
@@ -288,6 +306,7 @@ def train(
     )
 
     start = time.time()
+    nan_streak = 0
     for epoch in range(n_epochs):
         acc = {"loss": 0.0, "bpp": 0.0, "mse": 0.0}
         for _ in range(steps_per_epoch):
@@ -295,7 +314,14 @@ def train(
             state, metrics = step_fn(state, batch)
             loss = float(metrics["loss"])
             if np.isnan(loss):
-                raise Exception("NaN in loss")  # reference guard, :189-190
+                # the step itself was skip-guarded (params untouched);
+                # abort only on PERSISTENT divergence.  Reference guard
+                # (train_net_unet.py:189-190) aborts on the first one.
+                nan_streak += 1
+                if nan_streak >= 10:
+                    raise Exception("NaN in loss (10 consecutive steps)")
+                continue
+            nan_streak = 0
             acc["loss"] += loss
             acc["bpp"] += float(metrics["bpp"])
             acc["mse"] += float(metrics["mse"])

@@ -282,6 +282,7 @@ def main():
     # drop the remainder otherwise) while still writing params/eval.json
     n_calls = -(-args.steps // K)
     log_every = max(n_calls // 40, 1)
+    nan_streak = 0
     for i in range(n_calls):
         state, ema_params, (loss, bpp, mse, aux) = multi_step(
             state, ema_params, pool_dev, jnp.asarray(i)
@@ -296,8 +297,11 @@ def main():
             print(line, flush=True)
             with open(os.path.join(args.out, "train_log.txt"), "a") as fd:
                 fd.write(line + "\n")
-            if not np.isfinite(loss):
-                raise SystemExit("NaN loss")
+            # the train step skip-guards non-finite updates (params stay
+            # clean); abort only when divergence is persistent
+            nan_streak = nan_streak + 1 if not np.isfinite(loss) else 0
+            if nan_streak >= 3:
+                raise SystemExit("NaN loss (3 consecutive logged windows)")
     save_params(os.path.join(args.out, "params.npz"), state.params)
     if args.ema > 0:
         save_params(os.path.join(args.out, "params_ema.npz"), ema_params)

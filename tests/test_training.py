@@ -193,6 +193,35 @@ class TestTrainStep:
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0]
 
+    def test_nonfinite_batch_skips_update(self):
+        """A batch producing non-finite gradients must leave params AND
+        optimizer state untouched (skip-step guard), flag skipped=1, and
+        the next good batch must train normally."""
+        model, tc, opt, x, state = _tiny_setup()
+        step = jax.jit(make_train_step(model, tc, opt))
+        state, m = step(state, x)  # one good step to warm opt state
+        assert float(m["skipped"]) == 0.0
+        p0, o0 = state.params, state.opt_state
+        bad = x.at[0, 0, 0, 0].set(jnp.nan)
+        state, m = step(state, bad)
+        assert float(m["skipped"]) == 1.0
+        for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(o0), jax.tree.leaves(state.opt_state)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        state, m = step(state, x)
+        assert float(m["skipped"]) == 0.0
+        assert np.isfinite(float(m["loss"]))
+        moved = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree.leaves(p0), jax.tree.leaves(state.params)
+            )
+        )
+        assert moved
+
     def test_post_processing_mask_freezes_base(self):
         model, tc, opt, x, state = _tiny_setup(post_processing=True)
         masked = freeze_partition(opt, state.params, post_processing=True)
