@@ -64,7 +64,7 @@ def relative_position_buckets(
     ham = np.abs(rv_full) + np.abs(rh_full)
     buckets = (rv_full + half) * num_buckets + (rh_full + half)
     buckets = np.where(ham <= half, buckets, 0)
-    return buckets.reshape(qv * qh, kv * kh)
+    return buckets.reshape(qv * qh, kv * kh).astype(np.int32)
 
 
 class EntroformerAttention(nn.Module):
@@ -95,15 +95,25 @@ class EntroformerAttention(nn.Module):
             "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
         )
 
-        # contextual-product RPE: embed buckets → (L, L, hd); scores += q·emb
+        # contextual-product RPE: scores += q·table[bucket[l, m]].  The
+        # naive (L², hd) bucket GATHER was the measured hot spot on TPU
+        # (gathers don't vectorize; probe_codec_r4: the 2-pass context
+        # dominated the entroformer roundtrip) — build the rows with a
+        # one-hot MATMUL instead.  Bit-identical both ways: 0/1 operands
+        # survive bf16 exactly, and the downstream DEFAULT-precision
+        # einsum truncates rpe to bf16 on the MXU regardless (CPU keeps
+        # full f32: a single 1.0·v product per row is exact).
         buckets = relative_position_buckets(
             shape_2d, shape_2d, cfg.relative_attention_num_buckets
         )
-        table = nn.Embed(
-            cfg.relative_attention_num_buckets ** 2, hd,
-            name="relative_attention_bias",
-        )
-        rpe = table(jnp.asarray(buckets))  # (L, L, hd)
+        nb = cfg.relative_attention_num_buckets ** 2
+        table = nn.Embed(nb, hd, name="relative_attention_bias")
+        emb = table(jnp.arange(nb))  # (nb, hd) — the full (tiny) table
+        oh = (
+            jnp.asarray(buckets)[:, :, None]
+            == jnp.arange(nb)[None, None, :]
+        ).astype(q.dtype)
+        rpe = jnp.einsum("lmc,cd->lmd", oh, emb)  # (L, L, hd)
         ctx = jnp.einsum("blhd,lmd->bhlm", q, rpe)
         scores = (scores + ctx) * scale
 

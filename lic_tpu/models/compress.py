@@ -598,11 +598,11 @@ class ChannelCoder:
         from concurrent.futures import ThreadPoolExecutor
 
         cfg = self.model.cfg
-        assert not self.is_ns, (
-            "batched path covers the charm-slice and entroformer models"
-        )
         b, h, w, _ = xs.shape
         xs, _ = pad_to_multiple(xs, 64)
+        if self.is_ns:
+            assert rates is None, "neural_syntax models have no gain units"
+            return self._compress_ns_batch(xs, h, w)
 
         if rates is not None:
             assert self.has_gain and len(rates) == b
@@ -666,6 +666,10 @@ class ChannelCoder:
             (hh[1], hh[2]) == (orig_h, orig_w) for hh in heads
         ), "decompress_batch needs same-sized bitstreams"
         h, w = padded_size(orig_h, orig_w, 64)
+        if self.is_ns:
+            return self._decompress_ns_batch(
+                blobs, [hh[0] for hh in heads], orig_h, orig_w, h, w
+            )
 
         z_shape = (1, h // 64, w // 64, self.z_coder.medians.shape[0])
         z_syms, syns, payloads, rates = [], [], [], []
@@ -782,12 +786,21 @@ class ChannelCoder:
             l *= 2
         return max(l, 8)
 
-    def _ns_scan(self, hy: int, wy: int):
+    def _ns_scan(self, hy: int, wy: int, batch: int = 1):
         """Build (and cache) the single-dispatch wavefront executable for a
-        latent grid.  Returns ``fn(h2, payload, y_known, mode)``
-        → ``(mu_r (T,P,C), rows (T,P,C), plane, lane_state, lane_ptr)``.
+        latent grid at batch size ``batch``.  Returns
+        ``fn(h2 (B,hy,wy,·), payload (B,W), y_known (B,hy,wy,C), mode)``
+        → ``(res (T,B,P,C) i16, rows (T,B,P,C) i16, mu_r (T,B,P,C) i16,
+        plane (B,hy,wy,C), lane_state (B,L), lane_ptr (B,))``.
+
+        Batching is the wavefront decode's dominant throughput lever: a
+        wavefront step's work (a ≤p_max-position context head + an
+        ≤mc-chunk rANS drain) is far below one dispatch's latency floor,
+        so B images in ONE scan cost nearly the same wall-clock as one —
+        each image stays an independent L-lane rANS stream (identical
+        wire format to the B=1 coder), batched only on device.
         """
-        key = (hy, wy)
+        key = (hy, wy, batch)
         if key in self._ns_scan_cache:
             return self._ns_scan_cache[key]
 
@@ -821,11 +834,13 @@ class ChannelCoder:
         )
         model, params = self.model, self.params
 
+        B = batch
+
         def fn_impl(p, h2, payload, y_known, use_stream):
-            # payload: (1, W) int32 — one interleaved stream (B=1), padded
-            # with >= n_lanes trailing zeros by the caller
-            hpad = jnp.pad(h2, ((3, 3), (3, 3), (0, 0)))
-            ypad = jnp.zeros((hy + 6, wy + 6, c), jnp.float32)
+            # payload: (B, W) int32 — one interleaved stream per image,
+            # padded with >= n_lanes trailing zeros by the caller
+            hpad = jnp.pad(h2, ((0, 0), (3, 3), (3, 3), (0, 0)))
+            ypad = jnp.zeros((B, hy + 6, wy + 6, c), jnp.float32)
             lanes = dev.init_lanes(payload)
 
             def body(carry, xs):
@@ -837,21 +852,24 @@ class ChannelCoder:
                 # plane); r, q here are PADDED coords, hence the −3 / −2
                 rr = r[:, None, None] + ii[None, :, None] - 3  # (P, 4, 1)
                 cc = q[:, None, None] + ii[None, None, :] - 2  # (P, 1, 4)
-                ypat = ypad[rr, cc]            # (P, 4, 4, Cy); OOB clamps
-                ypat = ypat.at[:, 3, 2:, :].set(0.0)   # causal mask
-                hpat = hpad[rr, cc]
+                ypat = ypad[:, rr, cc]      # (B, P, 4, 4, Cy); OOB clamps
+                ypat = ypat.at[:, :, 3, 2:, :].set(0.0)   # causal mask
+                hpat = hpad[:, rr, cc]
+                merged = jnp.concatenate([ypat, hpat], axis=-1)
                 mu, sg = model.apply(
                     {"params": p},
-                    jnp.concatenate([ypat, hpat], axis=-1),
+                    merged.reshape((B * p_max,) + merged.shape[2:]),
                     method=CodecModel.ns_context_head,
                 )
+                mu = mu.reshape(B, p_max, c)
+                sg = sg.reshape(B, p_max, c)
                 mu_r = jnp.round(mu)
                 si = jnp.clip(
                     jnp.searchsorted(tabm, jnp.maximum(sg, tabm[0]) - 1e-9),
                     0, tabm.shape[0] - 1,
                 )
                 dj = jnp.clip(jnp.floor((mu - mu_r + 0.5) * nd), 0, nd - 1)
-                rows = (si * nd + dj).astype(jnp.int32)       # (P, C)
+                rows = (si * nd + dj).astype(jnp.int32)    # (B, P, C)
                 mu_i = mu_r.astype(jnp.int32)
 
                 # encode mode never reads the (dummy) stream: skip the
@@ -865,33 +883,37 @@ class ChannelCoder:
                         use_stream != 0,
                         lambda lanes: pallas_drain(
                             dev, lanes, payload,
-                            rows.reshape(1, -1), ns_t,
+                            rows.reshape(B, -1), ns_t,
                         ),
                         lambda lanes: (
                             lanes,
-                            jnp.zeros((1, p_max * c), jnp.int32),
+                            jnp.zeros((B, p_max * c), jnp.int32),
                         ),
                         lanes,
                     )
-                    sym = dec.reshape(p_max, c)
+                    sym = dec.reshape(B, p_max, c)
                 else:
                     rows_pad = jnp.pad(
-                        rows.reshape(-1), (0, mc * n_lanes - p_max * c)
+                        rows.reshape(B, -1),
+                        ((0, 0), (0, mc * n_lanes - p_max * c)),
                     )
                     # inner chunk loop as an unrolled scan (see
                     # slices_pass): pre-sliced xs + auto-stacked ys
-                    rows_sc = rows_pad.reshape(mc, n_lanes)
+                    rows_sc = (
+                        rows_pad.reshape(B, mc, n_lanes).transpose(1, 0, 2)
+                    )
                     valid_sc = (
                         jnp.arange(mc, dtype=jnp.int32)[:, None] * n_lanes
                         + jnp.arange(n_lanes, dtype=jnp.int32)[None, :]
                     ) < ns_t  # (mc, L); ns_t = this wavefront's symbols
 
                     def chunk(lanes, xs):
-                        rk, vd = xs  # (L,), (L,) — add the B=1 stream axis
+                        rk, vd = xs  # (B, L), (L,)
                         vals, lanes = dev.decode_chunk(
-                            lanes, payload, rk[None], vd[None]
+                            lanes, payload, rk,
+                            jnp.broadcast_to(vd, (B, n_lanes)),
                         )
-                        return lanes, vals[0]
+                        return lanes, vals
 
                     lanes, dec = jax.lax.cond(
                         use_stream != 0,
@@ -899,26 +921,39 @@ class ChannelCoder:
                             chunk, lanes, (rows_sc, valid_sc), unroll=8
                         ),
                         lambda lanes: (
-                            lanes, jnp.zeros((mc, n_lanes), jnp.int32)
+                            lanes, jnp.zeros((mc, B, n_lanes), jnp.int32)
                         ),
                         lanes,
                     )
-                    sym = dec.reshape(-1)[: p_max * c].reshape(p_max, c)
+                    sym = (
+                        dec.transpose(1, 0, 2).reshape(B, -1)
+                        [:, : p_max * c].reshape(B, p_max, c)
+                    )
 
                 yk = y_known[
-                    jnp.clip(r - 3, 0, hy - 1), jnp.clip(q - 3, 0, wy - 1)
+                    :, jnp.clip(r - 3, 0, hy - 1), jnp.clip(q - 3, 0, wy - 1)
                 ]
                 vals = jnp.where(
                     use_stream != 0, sym + mu_i, yk
                 ).astype(jnp.float32)
-                ypad = ypad.at[r, q].set(vals, mode="drop")
-                return (ypad, lanes), (mu_i, rows)
+                ypad = ypad.at[:, r, q].set(vals, mode="drop")
+                # wire-efficient encode outputs: the host rANS encoder needs
+                # only (y−μ) residuals + CDF rows, both int16-safe (the ±
+                # _SYM_CLIP charm convention; values this large never occur
+                # on trained latents and escape coding covers the tail) —
+                # halves the (T,B,P,C) fetch over the host link twice over
+                res = jnp.clip(yk - mu_i, -_SYM_CLIP, _SYM_CLIP)
+                return (ypad, lanes), (
+                    res.astype(jnp.int16),
+                    rows.astype(jnp.int16),
+                    jnp.clip(mu_i, -_SYM_CLIP, _SYM_CLIP).astype(jnp.int16),
+                )
 
-            (ypad, lanes), (mu_all, rows_all) = jax.lax.scan(
+            (ypad, lanes), (res_all, rows_all, mu_all) = jax.lax.scan(
                 body, (ypad, lanes), (rs, cs, nsym)
             )
-            plane = ypad[3 : 3 + hy, 3 : 3 + wy, :]
-            return mu_all, rows_all, plane, lanes.state, lanes.ptr
+            plane = ypad[:, 3 : 3 + hy, 3 : 3 + wy, :]
+            return res_all, rows_all, mu_all, plane, lanes.state, lanes.ptr
 
         fn = partial(jax.jit(fn_impl), params)
         entry = (fn, groups, n_lanes, p_max, c)
@@ -926,89 +961,142 @@ class ChannelCoder:
         return entry
 
     def _compress_ns(self, x: jax.Array, h: int, w: int) -> bytes:
+        return self._compress_ns_batch(x, h, w)[0]
+
+    def _compress_ns_batch(self, xs: jax.Array, h: int, w: int) -> List[bytes]:
+        """B same-sized images → B independent bitstreams (identical wire
+        format to the B=1 path) through ONE batched wavefront scan; host
+        rANS encodes run on a worker thread overlapping device compute."""
+        from concurrent.futures import ThreadPoolExecutor
+
         cfg = self.model.cfg
-        z3 = self._analyze(x)
+        b = xs.shape[0]
+        z3 = self._analyze(xs)
         z2 = self._ns_ha(z3)
         z2_int = np.asarray(jnp.round(z2)).astype(np.int32)
-        scales_z2 = np.broadcast_to(self.z2_sigma, z2_int.shape)
-        blob_z2 = self.z2_coder.encode_symbols(z2_int, scales_z2)
+        scales_z2 = np.broadcast_to(self.z2_sigma, z2_int.shape[1:])
 
+        # decode-parity by construction: h2 is derived from the SAME host
+        # integers the decoder will decode (z2 is tiny; the big tensors
+        # below never leave the device)
         h2 = self._ns_hs(jnp.asarray(z2_int, jnp.float32))
         syn_int = np.asarray(self._ns_syntax_vec(z3)).astype(np.int32)
         mu_s, sg_s = self._ns_syntax_params(h2)
-        blob_syn = self.mu_coder.encode_ints(
-            syn_int.reshape(-1),
-            np.asarray(mu_s, np.float32).reshape(-1),
-            np.asarray(sg_s, np.float32).reshape(-1),
-        )
+        mu_s = np.asarray(mu_s, np.float32).reshape(b, -1)
+        sg_s = np.asarray(sg_s, np.float32).reshape(b, -1)
 
-        content = z3[..., cfg.M :]
-        y_int = np.asarray(jnp.round(content)).astype(np.int32)[0]
-        hy, wy = y_int.shape[0], y_int.shape[1]
-        fn, groups, n_lanes, p_max, c = self._ns_scan(hy, wy)
-        # encode mode: dummy stream, known integer latents drive the plane
-        mu_dev, rows_dev, _, _, _ = fn(
-            jnp.asarray(np.asarray(h2, np.float32)[0]),
-            jnp.zeros((1, 2 * n_lanes), jnp.int32),
-            jnp.asarray(y_int),
-            jnp.int32(0),
+        y_dev = jnp.round(z3[..., cfg.M :]).astype(jnp.int32)  # stays on device
+        hy, wy = int(y_dev.shape[1]), int(y_dev.shape[2])
+        fn, groups, n_lanes, p_max, c = self._ns_scan(hy, wy, batch=b)
+        # valid (t, p) slots in the old concat-over-groups symbol order
+        vt = np.concatenate(
+            [np.full(len(ps), t, np.int64) for t, (ps, _) in enumerate(groups)]
         )
-        mu_np, rows_np = np.asarray(mu_dev), np.asarray(rows_dev)
-        mu_all = np.concatenate(
-            [mu_np[t, : len(ps)] for t, (ps, _) in enumerate(groups)]
+        vp = np.concatenate(
+            [np.arange(len(ps), dtype=np.int64) for ps, _ in groups]
         )
-        idx_all = np.concatenate(
-            [rows_np[t, : len(ps)] for t, (ps, _) in enumerate(groups)]
-        )
-        y_all = np.concatenate(
-            [y_int[ps, qs, :] for ps, qs in groups], axis=0
-        )
-        step_counts = [len(ps) * c for ps, _ in groups]
-        blob_y = self.lane_codec.encode(
-            (y_all.astype(np.int64) - mu_all).astype(np.int32),
-            idx_all, step_counts, n_lanes,
-        )
-
-        return self._pack(
-            h, w, np.zeros((0,), np.int16), blob_z2, [blob_syn, blob_y]
-        )
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            z_jobs = [
+                pool.submit(
+                    self.z2_coder.encode_symbols, z2_int[i], scales_z2
+                )
+                for i in range(b)
+            ]
+            s_jobs = [
+                pool.submit(
+                    self.mu_coder.encode_ints,
+                    syn_int[i].reshape(-1), mu_s[i], sg_s[i],
+                )
+                for i in range(b)
+            ]
+            # encode mode: dummy stream, known integer latents drive the
+            # plane; the z2/syntax host encodes overlap this device pass.
+            # Only the int16 (residual, row) tensors cross the host link.
+            res_dev, rows_dev, _, _, _, _ = fn(
+                h2,
+                jnp.zeros((b, 2 * n_lanes), jnp.int32),
+                y_dev,
+                jnp.int32(0),
+            )
+            res_np = np.asarray(res_dev)      # (T, B, P, C) int16
+            rows_np = np.asarray(rows_dev)
+            res_all = res_np[vt, :, vp]       # (S, B, C), group order
+            rows_all = rows_np[vt, :, vp]
+            step_counts = [len(ps) * c for ps, _ in groups]
+            y_jobs = [
+                pool.submit(
+                    self.lane_codec.encode,
+                    np.ascontiguousarray(res_all[:, i]).astype(np.int32),
+                    np.ascontiguousarray(rows_all[:, i]).astype(np.int32),
+                    step_counts, n_lanes,
+                )
+                for i in range(b)
+            ]
+            return [
+                self._pack(
+                    h, w, np.zeros((0,), np.int16),
+                    z_jobs[i].result(), [s_jobs[i].result(), y_jobs[i].result()],
+                )
+                for i in range(b)
+            ]
 
     def _decompress_ns(self, data, off, orig_h, orig_w, h, w):
+        return self._decompress_ns_batch(
+            [data], [off], orig_h, orig_w, h, w
+        )
+
+    def _decompress_ns_batch(self, blobs, offs, orig_h, orig_w, h, w):
+        """Decode B same-sized NS bitstreams through ONE batched wavefront
+        scan — each image stays its own L-lane rANS stream; the scan's
+        per-step latency floor is paid once for the whole batch."""
         cfg = self.model.cfg
-        (z_len,) = struct.unpack_from("<I", data, off)
-        off += 4
-        z_blob = data[off : off + z_len]
-        off += z_len
-        z_shape = (1, h // 64, w // 64, cfg.N)
-        scales_z2 = np.broadcast_to(self.z2_sigma, z_shape)
-        z2_int = (
-            self.z2_coder.codec.decode(
-                z_blob, self.z2_coder.scale_indexes(scales_z2)
-            )
-            .reshape(z_shape)
-            .astype(np.float32)
-        )
-        h2 = self._ns_hs(jnp.asarray(z2_int))
-
-        (s_len,) = struct.unpack_from("<I", data, off)
-        off += 4
-        s_blob = data[off : off + s_len]
-        off += s_len
-        mu_s, sg_s = self._ns_syntax_params(h2)
-        syn_int = self.mu_coder.decode_ints(
-            s_blob,
-            np.asarray(mu_s, np.float32).reshape(-1),
-            np.asarray(sg_s, np.float32).reshape(-1),
-        )
-
-        (y_len,) = struct.unpack_from("<I", data, off)
-        off += 4
-        y_blob = data[off : off + y_len]
-        hy, wy = int(h2.shape[1]), int(h2.shape[2])
-        fn, groups, n_lanes, p_max, c = self._ns_scan(hy, wy)
         from ..coding.device_rans import Rans16InterleavedCodec
 
-        blob_lanes, payload = Rans16InterleavedCodec.parse(y_blob)
+        b = len(blobs)
+        z_shape = (h // 64, w // 64, cfg.N)
+        scales_z2 = np.broadcast_to(self.z2_sigma, z_shape)
+        z_idx = self.z2_coder.scale_indexes(scales_z2)
+        z2_int = np.zeros((b,) + z_shape, np.float32)
+        s_blobs, payloads = [], []
+        for i, (data, off) in enumerate(zip(blobs, offs)):
+            (z_len,) = struct.unpack_from("<I", data, off)
+            off += 4
+            z2_int[i] = (
+                self.z2_coder.codec.decode(data[off : off + z_len], z_idx)
+                .reshape(z_shape)
+                .astype(np.float32)
+            )
+            off += z_len
+            (s_len,) = struct.unpack_from("<I", data, off)
+            off += 4
+            s_blobs.append(data[off : off + s_len])
+            off += s_len
+            (y_len,) = struct.unpack_from("<I", data, off)
+            off += 4
+            blob_lanes, payload = Rans16InterleavedCodec.parse(
+                data[off : off + y_len]
+            )
+            if i == 0:
+                lanes0 = blob_lanes
+            elif blob_lanes != lanes0:
+                raise ValueError(
+                    "mixed rans16i lane counts in one decode batch"
+                )
+            payloads.append(payload)
+        h2 = self._ns_hs(jnp.asarray(z2_int))
+
+        mu_s, sg_s = self._ns_syntax_params(h2)
+        mu_s = np.asarray(mu_s, np.float32).reshape(b, -1)
+        sg_s = np.asarray(sg_s, np.float32).reshape(b, -1)
+        syn_int = np.stack(
+            [
+                self.mu_coder.decode_ints(s_blobs[i], mu_s[i], sg_s[i])
+                for i in range(b)
+            ]
+        )
+
+        hy, wy = int(h2.shape[1]), int(h2.shape[2])
+        fn, groups, n_lanes, p_max, c = self._ns_scan(hy, wy, batch=b)
         if blob_lanes != n_lanes:
             raise ValueError(
                 f"rans16i lane count mismatch: stream {blob_lanes}, "
@@ -1018,29 +1106,30 @@ class ChannelCoder:
         # >= n_lanes trailing zeros keep the shared-pointer window slice
         # in bounds at the final position.  Width is bucketed so new
         # stream lengths reuse the compiled scan (see _PAYLOAD_BUCKET).
-        wpad = -(-(payload.size + n_lanes) // _PAYLOAD_BUCKET) * _PAYLOAD_BUCKET
-        _, _, plane, lstate, lptr = fn(
-            jnp.asarray(np.asarray(h2, np.float32)[0]),
-            jnp.asarray(
-                np.pad(
-                    payload.astype(np.int32), (0, wpad - payload.size)
-                )[None]
-            ),
-            jnp.zeros((hy, wy, c), jnp.int32),
+        wmax = max(p.size for p in payloads)
+        wpad = -(-(wmax + n_lanes) // _PAYLOAD_BUCKET) * _PAYLOAD_BUCKET
+        pay_flat = np.zeros((b, wpad), np.int32)
+        for i, p in enumerate(payloads):
+            pay_flat[i, : p.size] = p
+        _, _, _, plane, lstate, lptr = fn(
+            h2,
+            jnp.asarray(pay_flat),
+            jnp.zeros((b, hy, wy, c), jnp.int32),
             jnp.int32(1),
         )
         # stream integrity: every lane must end at the interval bound with
         # every word consumed (the single-stream path's finish() analogue)
+        ends = np.asarray([p.size for p in payloads], np.int32)
         if not (
             np.all(np.asarray(lstate) == np.uint32(1 << 16))
-            and np.all(np.asarray(lptr) == payload.size)
+            and np.all(np.asarray(lptr) == ends)
         ):
             raise ValueError(
                 "corrupt or truncated rans16i stream (final-state check)"
             )
 
-        content = jnp.asarray(plane)[None]
-        syn = jnp.asarray(syn_int, jnp.float32).reshape(1, 1, 1, -1)
+        content = jnp.asarray(plane)
+        syn = jnp.asarray(syn_int, jnp.float32).reshape(b, 1, 1, -1)
         rec = self._synthesize(content, syn)
         return rec[:, :orig_h, :orig_w, :]
 

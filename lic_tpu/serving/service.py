@@ -203,14 +203,9 @@ class CodecService:
         """Precompile the pipeline for the given (H, W) buckets."""
         b = batch or self.max_batch
         for h, w in sizes:
-            if self.coder.is_ns:  # NS runs per image (no batched path)
-                x = np.zeros((1, h, w, 3), np.float32)
-                blob = self.coder.compress(self._to_device(x))
-                self.coder.decompress(blob)
-            else:
-                x = np.zeros((b, h, w, 3), np.float32)
-                blobs = self.coder.compress_batch(self._to_device(x))
-                self.coder.decompress_batch(blobs)
+            x = np.zeros((b, h, w, 3), np.float32)
+            blobs = self.coder.compress_batch(self._to_device(x))
+            self.coder.decompress_batch(blobs)
 
     @staticmethod
     def _to_device(x: np.ndarray):
@@ -264,55 +259,40 @@ class CodecService:
 
     def _process(self, batch: List[_Req]) -> None:
         kind = batch[0].kind
-        # the batched device pipeline covers the charm-slice and
-        # entroformer models; the NS wavefront runs per image through
-        # its own device scan
-        batched = not self.coder.is_ns
+        # every family is batched: charm slices / checkerboard via the
+        # single-dispatch slice pass, the NS wavefront via its batched
+        # scan (B images as independent rANS streams in one dispatch)
         # pad partial batches up to max_batch (repeat the last item, slice
         # results): every distinct batch size would otherwise be a new XLA
         # input shape and recompile the whole pipeline on a request that
         # was promised at most ~max_wait_ms of batching latency
         n = len(batch)
-        pad = self.max_batch - n if batched else 0
+        pad = self.max_batch - n
         try:
             if kind == "c":
                 imgs = [r.payload[0] for r in batch]
                 rates = [r.payload[1] for r in batch]
-                if batched:
-                    imgs += [imgs[-1]] * pad
-                    rates += [rates[-1]] * pad
-                    xs = self._to_device(np.stack(imgs))
-                    if any(rr is not None for rr in rates):
-                        # mixed rate/None inside one batch: None means the
-                        # coder's default operating point
-                        rates = [
-                            self.coder.rate if rr is None else rr
-                            for rr in rates
-                        ]
-                        blobs = self.coder.compress_batch(xs, rates=rates)[:n]
-                    else:
-                        blobs = self.coder.compress_batch(xs)[:n]
-                else:
-                    blobs = [
-                        self.coder.compress(
-                            self._to_device(im[None]), rate=rr
-                        )
-                        for im, rr in zip(imgs, rates)
+                imgs += [imgs[-1]] * pad
+                rates += [rates[-1]] * pad
+                xs = self._to_device(np.stack(imgs))
+                if any(rr is not None for rr in rates):
+                    # mixed rate/None inside one batch: None means the
+                    # coder's default operating point
+                    rates = [
+                        self.coder.rate if rr is None else rr
+                        for rr in rates
                     ]
+                    blobs = self.coder.compress_batch(xs, rates=rates)[:n]
+                else:
+                    blobs = self.coder.compress_batch(xs)[:n]
                 for r, b in zip(batch, blobs):
                     self._resolve(r, b)
             else:
-                if batched:
-                    payloads = [r.payload for r in batch]
-                    payloads += [payloads[-1]] * pad
-                    recs = np.asarray(
-                        self.coder.decompress_batch(payloads)
-                    )[:n]
-                else:
-                    recs = [
-                        np.asarray(self.coder.decompress(r.payload))[0]
-                        for r in batch
-                    ]
+                payloads = [r.payload for r in batch]
+                payloads += [payloads[-1]] * pad
+                recs = np.asarray(
+                    self.coder.decompress_batch(payloads)
+                )[:n]
                 for i, r in enumerate(batch):
                     self._resolve(r, recs[i])
             t1 = time.perf_counter()

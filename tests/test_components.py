@@ -44,6 +44,36 @@ class TestEntroformer:
         # center-to-adjacent is a distinct bucket; far pairs collapse to 0
         assert b[0, 15] == 0
 
+    def test_rpe_onehot_matches_gather(self):
+        """The one-hot-matmul RPE (TPU: gathers don't vectorize) must equal
+        the naive table gather bit-for-bit on CPU: attention scores use
+        ctx[b,h,l,m] = q[b,l,h,:]·table[bucket[l,m],:]."""
+        from lic_tpu.layers.entroformer import EntroformerAttention
+
+        cfg = SMALL_CFG
+        h, w = 4, 6
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(2, h * w, cfg.dim)).astype(np.float32))
+        m = EntroformerAttention(cfg)
+        y, v = m.init_with_output(jax.random.PRNGKey(0), x, (h, w))
+        # reference: explicit gather path re-stated here
+        emb = v["params"]["relative_attention_bias"]["embedding"]
+        qkv = x @ v["params"]["qkv"]["kernel"]
+        q = qkv.reshape(2, h * w, 3, cfg.num_heads, cfg.dim_head)[:, :, 0]
+        buckets = relative_position_buckets((h, w), (h, w), 5)
+        rpe_ref = jnp.asarray(np.asarray(emb)[buckets])  # (L, L, hd) gather
+        ctx_ref = jnp.einsum("blhd,lmd->bhlm", q, rpe_ref)
+        # the module's one-hot path, reconstructed
+        nb = 25
+        oh = (
+            jnp.asarray(buckets)[:, :, None] == jnp.arange(nb)[None, None, :]
+        ).astype(jnp.float32)
+        ctx_oh = jnp.einsum(
+            "blhd,lmd->bhlm", q, jnp.einsum("lmc,cd->lmd", oh, emb)
+        )
+        np.testing.assert_array_equal(np.asarray(ctx_oh), np.asarray(ctx_ref))
+        assert y.shape == x.shape
+
     def test_trans_hyper_scale_down_up(self):
         cfg = SMALL_CFG
         down = TransHyperScale(cin=16, cout=8, scale=2, down=True, cfg=cfg)

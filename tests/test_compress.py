@@ -283,12 +283,13 @@ class TestNeuralSyntaxCompress:
 
         # device scan, encode mode (full plane known)
         fn, groups, n_lanes, p_max, _ = coder._ns_scan(hy, wy)
-        mu_dev, rows_dev, _, _, _ = fn(
-            jnp.asarray(np.asarray(h2, np.float32)[0]),
+        _, rows_dev, mu_dev, _, _, _ = fn(
+            jnp.asarray(np.asarray(h2, np.float32)),
             jnp.zeros((1, 2 * n_lanes), jnp.int32),
-            jnp.asarray(y_int), jnp.int32(0),
+            jnp.asarray(y_int)[None], jnp.int32(0),
         )
-        mu_dev, rows_dev = np.asarray(mu_dev), np.asarray(rows_dev)
+        # (T, B=1, P, C) → (T, P, C)
+        mu_dev, rows_dev = np.asarray(mu_dev)[:, 0], np.asarray(rows_dev)[:, 0]
 
         # training path: block_sample patches + the same head
         ypat = block_sample(jnp.asarray(y_int, jnp.float32)[None], masked=True)
@@ -410,6 +411,34 @@ class TestEntroformerCompress:
         est_bpp = float(model.apply(v, x, training=False).bpp)
         assert real_bpp < est_bpp * 1.2 + 0.3, (real_bpp, est_bpp)
 
+    def test_ns_batched_matches_single_and_rejects_truncation(self):
+        """The wavefront scan batches across images (each stays its own
+        L-lane rANS stream): batched bytes == per-image bytes, batched
+        decode == per-image decode, and truncation is caught loudly."""
+        import pytest
+
+        from lic_tpu.models import build_model
+
+        model = build_model("neural_syntax")
+        rng = np.random.default_rng(13)
+        xs = jnp.asarray(rng.uniform(-1, 1, (2, 128, 128, 3)).astype(np.float32))
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            xs[:1], training=True,
+        )
+        coder = ChannelCoder(model, v["params"], name="neural_syntax")
+        blobs = coder.compress_batch(xs)
+        assert blobs[0] == coder.compress(xs[:1])
+        recs = coder.decompress_batch(blobs)
+        np.testing.assert_array_equal(
+            np.asarray(recs[:1]), np.asarray(coder.decompress(blobs[0]))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(recs[1:]), np.asarray(coder.decompress(blobs[1]))
+        )
+        with pytest.raises(ValueError, match="corrupt or truncated"):
+            coder.decompress(blobs[0][: len(blobs[0]) - 40])
+
     def test_batched_matches_single_and_rejects_truncation(self):
         """The checkerboard pass rides the same single-dispatch contract as
         the charm slice chain: batched bytes == per-image bytes, and the
@@ -504,4 +533,14 @@ class TestPallasDrainE2E:
             {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
             x, training=True,
         )
-        self._roundtrip(model, v["params"], x, name="neural_syntax")
+        blob = self._roundtrip(model, v["params"], x, name="neural_syntax")
+        # batched wavefront scan through the kernel: per-image bytes and
+        # reconstructions must match the B=1 path exactly
+        coder = ChannelCoder(model, v["params"], name="neural_syntax")
+        xs = jnp.concatenate([x, -x], axis=0)
+        blobs = coder.compress_batch(xs)
+        assert blobs[0] == blob
+        recs = coder.decompress_batch(blobs)
+        np.testing.assert_array_equal(
+            np.asarray(recs[:1]), np.asarray(coder.decompress(blob))
+        )
