@@ -277,6 +277,14 @@ def main():
         return state, ema, jax.tree.map(lambda a: a[-1], ms)
 
     ema_params = jax.tree.map(lambda p: p.astype(jnp.float32), state.params)
+    # Self-delimiting log: runs append to the same train_log.txt across
+    # driver resets/retrains, so each run stamps a header line (multi-block
+    # logs without one confused result provenance — ADVICE round 3).
+    with open(os.path.join(args.out, "train_log.txt"), "a") as fd:
+        fd.write(
+            "=== run %s :: %s\n"
+            % (time.strftime("%Y-%m-%d %H:%M:%S"), " ".join(sys.argv[1:]))
+        )
     t0 = time.time()
     # round UP: steps // K would silently train 0 steps for steps < K (and
     # drop the remainder otherwise) while still writing params/eval.json
