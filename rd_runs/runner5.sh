@@ -45,11 +45,13 @@ while [ ! -f rd_runs/STOP ]; do
   LIC_TPU_LOCK_HELD=1 flock "$LOCK" bash -c "$line" >> "$L" 2>&1
   rc=$?
   echo "=== $(date '+%F %T') EXIT: $rc :: $line" >> "$L"
-  if job_failed; then
+  # rc=124/137/143: a `timeout`-killed hang emits no output, so the grep in
+  # job_failed cannot see it — treat the timeout itself as a failure (advisor r4).
+  if job_failed || [ "$rc" -eq 124 ] || [ "$rc" -eq 137 ] || [ "$rc" -eq 143 ]; then
     n=${RETRIES["$line"]:-0}
     RETRIES["$line"]=$((n + 1))
     if [ "$n" -lt 3 ]; then
-      echo "=== $(date '+%F %T') REQUEUE head (axon failure, attempt $((n + 1))): $line" >> "$L"
+      echo "=== $(date '+%F %T') REQUEUE head (failure rc=$rc, attempt $((n + 1))): $line" >> "$L"
       printf '%s\n' "$line" | cat - "$Q" > "$Q.tmp" && mv "$Q.tmp" "$Q"
     else
       echo "=== $(date '+%F %T') REQUEUE tail (axon failure, attempt $((n + 1))): $line" >> "$L"
