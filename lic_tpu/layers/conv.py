@@ -18,7 +18,7 @@ XLA-native formulation (a single fused conv, no scatter).
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Sequence, Tuple, Union
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -80,6 +80,30 @@ def set_pallas_conv(enabled: bool, interpret: bool = False) -> None:
     global _PALLAS_CONV, _PALLAS_INTERPRET
     _PALLAS_CONV = bool(enabled)
     _PALLAS_INTERPRET = bool(interpret)
+
+
+# K-remainder-packed stride-1 k×k conv (layers/pallas_conv_s1.py): the
+# flagship's WAM conv branches (3×3 ResidualBlocks, the 7×7 conv —
+# reference layers/layers.py:87-111) at 128 < C ≤ 192.  Forward = Pallas,
+# backward = XLA conv VJP.  None = auto (on when running on TPU);
+# starts False until silicon-validated (see docs/PERF.md round 5).
+_PACKED_CONV: Optional[bool] = False
+_PACKED_INTERPRET = False
+
+
+def set_packed_conv(enabled: Optional[bool], interpret: bool = False) -> None:
+    global _PACKED_CONV, _PACKED_INTERPRET
+    _PACKED_CONV = enabled
+    _PACKED_INTERPRET = bool(interpret)
+
+
+def _packed_conv_on() -> bool:
+    if _PACKED_CONV is not None:
+        return _PACKED_CONV
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
 
 
 # Narrow-input convs (RGB entry layers: plain g_a layer 0, the rich
@@ -308,6 +332,44 @@ def _conv5s2_fast_bwd(res, g):
 _conv5s2_fast.defvjp(_conv5s2_fast_fwd, _conv5s2_fast_bwd)
 
 
+def _xla_convs1_same(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    return lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@jax.custom_vjp
+def _convs1_packed(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    from .pallas_conv_s1 import convk_s1_pallas
+
+    return convk_s1_pallas(x, kernel, interpret=_PACKED_INTERPRET)
+
+
+def _convs1_packed_fwd(x, kernel):
+    return _convs1_packed(x, kernel), (x, kernel)
+
+
+def _convs1_packed_bwd(res, g):
+    x, kernel = res
+    _, vjp = jax.vjp(_xla_convs1_same, x, kernel)
+    return vjp(g)
+
+
+_convs1_packed.defvjp(_convs1_packed_fwd, _convs1_packed_bwd)
+
+
+def _use_packed_s1(cin: int, k: int, stride: int, padding) -> bool:
+    return (
+        _packed_conv_on()
+        and stride == 1
+        and k in (3, 5, 7)
+        and k > 1
+        and 128 < cin <= 192
+        and padding == k // 2
+    )
+
+
 class Conv2d(nn.Module):
     """NHWC conv with torch-style explicit padding.
 
@@ -343,6 +405,8 @@ class Conv2d(nn.Module):
             and x.shape[2] % 2 == 0
         ):
             y = _conv5s2_fast(x.astype(dtype), kernel.astype(dtype))
+        elif _use_packed_s1(x.shape[-1], k, self.stride, self.padding):
+            y = _convs1_packed(x.astype(dtype), kernel.astype(dtype))
         elif (
             _S2D_CONV
             and k == 5

@@ -355,3 +355,84 @@ class TestPallasWindowAttention:
         finally:
             set_pallas_attn(False)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+class TestPackedConvS1:
+    """K-remainder-packed stride-1 conv (layers/pallas_conv_s1.py)."""
+
+    def test_matches_xla_conv(self):
+        from jax import lax
+
+        from lic_tpu.layers.pallas_conv_s1 import convk_s1_pallas
+
+        rng = np.random.default_rng(5)
+        for (k, shape, co) in [
+            (3, (2, 16, 24, 192), 192),
+            (7, (1, 16, 24, 192), 192),
+            (3, (2, 8, 16, 160), 192),
+            (5, (1, 16, 16, 192), 128),
+            (3, (1, 10, 24, 192), 192),   # odd H exercises the th fallback
+        ]:
+            x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+            w = jnp.asarray(
+                rng.standard_normal((k, k, shape[-1], co)).astype(np.float32)
+                * 0.05
+            )
+            ref = lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            got = convk_s1_pallas(x, w, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+            )
+
+    def test_fused_epilogue(self):
+        """bias → leaky_relu → +skip ordering matches the ResidualBlock
+        tail (conv, bias, activation, then residual add)."""
+        from jax import lax
+
+        from lic_tpu.layers.pallas_conv_s1 import convk_s1_pallas
+
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.standard_normal((2, 16, 24, 192)).astype(np.float32))
+        w = jnp.asarray(
+            rng.standard_normal((3, 3, 192, 192)).astype(np.float32) * 0.05
+        )
+        b = jnp.asarray(rng.standard_normal((192,)).astype(np.float32))
+        ref = lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + b
+        ref = jax.nn.leaky_relu(ref) + x
+        got = convk_s1_pallas(
+            x, w, b, act="leaky_relu", residual=True, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_conv2d_switch_forward_and_grad(self):
+        """Conv2d routes qualifying stride-1 convs through the packed kernel
+        when enabled; forward matches XLA and the custom-VJP backward matches
+        XLA autodiff (trainable path)."""
+        from lic_tpu.layers.conv import Conv2d, set_packed_conv
+
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.standard_normal((1, 8, 16, 192)).astype(np.float32))
+        m = Conv2d(192, kernel_size=3, padding=1)
+        params = m.init(jax.random.PRNGKey(0), x)
+
+        def loss(p, xx):
+            return jnp.sum(m.apply(p, xx) ** 2)
+
+        ref_l, ref_g = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+        set_packed_conv(True, interpret=True)
+        try:
+            got_l, got_g = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+        finally:
+            set_packed_conv(False)
+        np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(got_g), jax.tree.leaves(ref_g)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+            )
