@@ -97,3 +97,81 @@ class TestForwardParity:
         np.testing.assert_allclose(
             float(out.mse), float(mse_t), rtol=2e-3, atol=2e-5
         )
+
+
+@pytest.fixture(scope="module")
+def pair_net_ga():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from import_torch import import_net_ga, load_reference_net
+
+    import jax
+    import jax.numpy as jnp
+
+    from lic_tpu.models import build_model
+
+    # net_ga's Syntax_Model applies a ws=4 WAM two /2 stages below the
+    # /16 latent (net_ga.py:622-650) — inputs below 256px make that grid
+    # 2x2 and the reference's own window_partition view fails; 256 is the
+    # smallest reference-runnable size (its real train_size).
+    net = load_reference_net(train_size=(1, 256, 256, 3), module="model.net_ga")
+    net.eval()
+
+    model = build_model("net_ga")
+    x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    template = jax.eval_shape(
+        lambda k: model.init(
+            {"params": k, "noise": jax.random.PRNGKey(1)}, x, training=True
+        ),
+        jax.random.PRNGKey(0),
+    )["params"]
+    template = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), template)
+    params = import_net_ga(net.state_dict(), template, verbose=False)
+    return net, model, params
+
+
+def _fixed_input_256():
+    rng = np.random.default_rng(43)
+    return rng.uniform(-1, 1, (1, 256, 256, 3)).astype(np.float32)
+
+
+class TestNetGaForwardParity:
+    """End-to-end parity vs the reference's EVAL entry model
+    (``eval_net.py:16`` → ``model/net_ga.py``): rich transforms, ELIC
+    hyper with subpel heads, SWAtten slice stacks, syntax tail."""
+
+    def test_analysis_latent_matches(self, pair_net_ga):
+        import jax
+
+        net, model, params = pair_net_ga
+        x = _fixed_input_256()
+        with torch.no_grad():
+            z3_t = net.a_model(torch.from_numpy(x).permute(0, 3, 1, 2))
+        z3_j = model.apply(
+            {"params": params}, jax.numpy.asarray(x), method="analyze"
+        )
+        z3_t = z3_t.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(
+            np.asarray(z3_j), z3_t, atol=5e-4, rtol=5e-4
+        )
+
+    def test_bpp_and_mse_match(self, pair_net_ga):
+        import jax
+
+        net, model, params = pair_net_ga
+        x = _fixed_input_256()
+        with torch.no_grad():
+            bpp_t, mse_t = net(
+                torch.from_numpy(x).permute(0, 3, 1, 2), "train"
+            )
+        out = model.apply(
+            {"params": params}, jax.numpy.asarray(x), training=False
+        )
+        # net_ga counts only the y stream (same §8.7 shape as source_net)
+        np.testing.assert_allclose(
+            float(out.bpp_y), float(bpp_t), rtol=2e-3, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            float(out.mse), float(mse_t), rtol=2e-3, atol=2e-5
+        )
