@@ -99,9 +99,17 @@ class CodecConfig:
     # (defect register §8.7).
     count_hyper_bpp: bool = True
 
+    # capacity override for scaled-down test topologies (None = reference
+    # widths).  Lets the suite execute the full flagship GRAPH (SWAtten
+    # slice stacks, U-Net hyper) under an 8-device mesh at CPU-compilable
+    # cost; real presets never set it.
+    n_override: Optional[int] = None
+
     # ---- derived capacities ----
     @property
     def N(self) -> int:
+        if self.n_override is not None:
+            return self.n_override
         return 384 if self.is_high else 192
 
     @property

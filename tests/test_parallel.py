@@ -147,3 +147,59 @@ def test_initialize_multihost_explicit_spec_raises():
         initialize_multihost("127.0.0.1:1", 2, None)
     # bare call on a single-host setup is a no-op
     initialize_multihost()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_flagship_topology_data_parallel_forward_and_grad():
+    """The flagship GRAPH (rich transforms + SWAtten slice stacks + shared
+    U-Net hyper decoder + WAM syntax) executed under a data-parallel mesh,
+    at n_override=64 so CPU compiles it in test time.  The driver's
+    dryrun compiles only a source_net-shaped step (the flagship compile
+    blew its timeout on 1 vCPU), so this is the one place the attention /
+    U-Net code paths run SHARDED.  Sharded forward must match unsharded
+    bit-for-bit-ish, and a DP grad must be finite and synchronized."""
+    cfg = CodecConfig(
+        family="charm", transform="rich", hyper="unet_dec",
+        swatten=True, syntax="wam", n_override=64,
+    )
+    model = CodecModel(cfg)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32))
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        x[:2], training=True,
+    )
+
+    mesh = make_mesh(8, axis_names=("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ps = jax.device_put(v["params"], replicated(mesh))
+
+    fwd = jax.jit(
+        lambda p, xx: model.apply({"params": p}, xx, training=False),
+        in_shardings=(replicated(mesh), NamedSharding(mesh, P("data"))),
+    )
+    out_sharded = fwd(ps, xs)
+    out_ref = model.apply({"params": v["params"]}, x, training=False)
+    np.testing.assert_allclose(
+        float(out_sharded.bpp), float(out_ref.bpp), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.x_tilde), np.asarray(out_ref.x_tilde),
+        rtol=5e-4, atol=5e-4,
+    )
+
+    def loss_fn(p, xx):
+        out = model.apply({"params": p}, xx, training=False)
+        return 0.01 * 255**2 * out.mse + out.bpp
+
+    grads = jax.jit(
+        jax.grad(loss_fn),
+        in_shardings=(replicated(mesh), NamedSharding(mesh, P("data"))),
+    )(ps, xs)
+    leaves = jax.tree.leaves(grads)
+    assert leaves, "no grads"
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+    # DP invariant: the grad of a replicated param is itself replicated
+    # (psum'd by XLA) — fetching it must give one coherent array
+    g0 = np.asarray(leaves[0])
+    assert np.isfinite(g0).all()
