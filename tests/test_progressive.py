@@ -74,3 +74,48 @@ class TestProgressiveStream:
         m = CodecModel(cfg)
         with pytest.raises(ValueError, match="not decodable"):
             ProgressiveCoder(m, {}, name="x")
+
+    def test_gaussian_and_static_digit_models_agree(self, setup):
+        """Both digit models reconstruct identically at full rate; streams
+        carry a format byte so a mismatched coder rejects loudly.  (The
+        gaussian model's rate win only exists when the model's σ matches
+        the residual statistics, i.e. on trained checkpoints — the coder-
+        level win is asserted in test_gaussian_trit_rate below.)"""
+        m, params, x, coder, blob = setup
+        static = ProgressiveCoder(m, params, name="tiny", digit_model="static")
+        blob_s = static.compress(x)
+        np.testing.assert_allclose(
+            np.asarray(coder.decompress(blob)),
+            np.asarray(static.decompress(blob_s)),
+            atol=1e-6,
+        )
+        with pytest.raises(ValueError, match="digit model"):
+            static.decompress(blob)
+
+
+def test_gaussian_trit_rate_and_roundtrip():
+    """On residuals actually distributed N(0, σ) with per-element σ (the
+    trained-model regime), the σ-modeled digit coder must beat the static
+    per-plane tables and land near the per-element Gaussian entropy;
+    every truncation prefix must decode; full decode must be exact."""
+    from lic_tpu.coding.tritplane import (
+        GaussianTritCoder,
+        TritPlaneCoder,
+        num_planes_for,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    sigma = np.exp(rng.uniform(np.log(0.05), np.log(8.0), n))
+    r = np.round(rng.standard_normal(n) * sigma).astype(np.int64)
+    k = num_planes_for(int(np.abs(r).max(initial=1)))
+    g = GaussianTritCoder()
+    t = TritPlaneCoder()
+    gb = g.encode(r, sigma, k)
+    tb = t.encode(r, k)
+    assert np.array_equal(g.decode(gb, n, sigma, k), r)
+    for planes in range(k):
+        dec = g.decode(gb[:planes], n, sigma, k)
+        # midpoint fill: error bounded by the undecoded span
+        assert np.abs(dec - r).max() <= (3 ** (k - planes) - 1) // 2
+    assert sum(map(len, gb)) < sum(map(len, tb))
