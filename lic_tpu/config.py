@@ -62,6 +62,14 @@ class CodecConfig:
     #                   (the capability of the missing model/Block.py path;
     #                   decodes in 2 device passes)
     context: str = "charm"
+    # entroformer context capacity (context='entroformer' only).  The
+    # round-2 default ran scaled-down (4 layers, dim=N); 'full' matches
+    # the reference transformer sizing (entroformer_helper.py:12-69:
+    # 6 layers, 6 heads, dim_head 64) projected to dim=2N=384.
+    entro_layers: int = 4
+    entro_heads: int = 8
+    entro_dim_mult: int = 1       # context dim = entro_dim_mult * N
+    entro_topk: int = -1          # top-k attention sparsification (-1 = off)
     num_slices: int = 4
     max_support_slices: int = 4
     swatten: bool = True          # SWAtten in the slice loop (net_ga yes, source_net no)

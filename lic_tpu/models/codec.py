@@ -181,11 +181,16 @@ class CodecModel(nn.Module):
                     EntroformerContext,
                 )
 
+                ed = cfg.entro_dim_mult * N
                 self.entro_context = EntroformerContext(
                     latent_channels=N,
                     mode="checkerboard",
                     cfg=EntroformerConfig(
-                        dim=N, num_layers=4, num_heads=8, dim_head=N // 8
+                        dim=ed,
+                        num_layers=cfg.entro_layers,
+                        num_heads=cfg.entro_heads,
+                        dim_head=ed // cfg.entro_heads,
+                        attn_topk=cfg.entro_topk,
                     ),
                 )
             ns = cfg.num_slices

@@ -134,6 +134,19 @@ PRESETS: Dict[str, CodecConfig] = {
         context="entroformer",
         syntax="basic",
     ),
+    # reference-sized Entroformer context (entroformer_helper.py:12-69:
+    # 6 layers, 6 heads, dim_head 64 → dim 384 = 2N): the capacity point
+    # for the VERDICT-r4 fair-shot sweep.
+    "entroformer_cb_full": CodecConfig(
+        family="charm",
+        transform="plain",
+        hyper="elic",
+        context="entroformer",
+        syntax="basic",
+        entro_layers=6,
+        entro_heads=6,
+        entro_dim_mult=2,
+    ),
     # beyond reference — variable-rate source_net: 4 learned gain-unit
     # pairs span the reference's λ family {0.0025, 0.0067, 0.013, 0.05}
     # from ONE checkpoint, with continuous rates by exponential gain

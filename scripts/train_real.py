@@ -134,6 +134,9 @@ def make_sampler(batch):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="source_net")
+    ap.add_argument("--override", default="",
+                    help="JSON dict of CodecConfig overrides, e.g. "
+                         "'{\"entro_topk\": 32}'")
     ap.add_argument("--lmbda", type=float, default=0.0067)
     ap.add_argument("--steps", type=int, default=30000)
     ap.add_argument("--batch", type=int, default=8)
@@ -203,6 +206,10 @@ def main():
     sample_batch = make_sampler(args.batch)
 
     overrides = {}
+    if args.override:
+        import json as _json
+
+        overrides.update(_json.loads(args.override))
     if args.is_high:
         overrides["is_high"] = True
     if args.post_processing or args.phase2:
