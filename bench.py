@@ -282,7 +282,20 @@ def main():
             from lic_tpu.utils.checkpoint import load_params
 
             codec_params = load_params(ckpt, params)
+            # pin provenance: without the sha the codec rows silently
+            # switch rate points whenever the checkpoint is regenerated
+            # (VERDICT r4 weak #8)
+            import hashlib
+
+            with open(ckpt, "rb") as fh:
+                sha = hashlib.sha256(fh.read()).hexdigest()
             extra["codec_params"] = "trained (rd_runs/v2_src_0.0130)"
+            extra["codec_params_sha256"] = sha[:16]
+        else:
+            extra["codec_params"] = (
+                "UNTRAINED FALLBACK (bench checkpoint missing — codec rows "
+                "not comparable across rounds)"
+            )
 
         coder = ChannelCoder(model, codec_params, name="source_net")
         blobs = coder.compress_batch(x)          # warmup/compile
@@ -323,10 +336,28 @@ def main():
             )
         )
         e_params = e_init(jax.random.PRNGKey(0), x)["params"]
-        e_ckpt = "rd_runs/v2_entro_0.0067/params.npz"
-        if os.path.exists(e_ckpt):
+        # preferred rate point first; resets may leave only siblings —
+        # the chosen dir + sha are recorded so rate-point switches are
+        # visible instead of silent
+        e_dirs = ["v2_entro_0.0067", "v2_entro_0.0130", "v2_entro_0.0025"]
+        e_ckpt = next(
+            (
+                f"rd_runs/{d}/params.npz"
+                for d in e_dirs
+                if os.path.exists(f"rd_runs/{d}/params.npz")
+            ),
+            None,
+        )
+        if e_ckpt:
             e_params = load_params(e_ckpt, e_params)
-            extra["entro_codec_params"] = "trained (rd_runs/v2_entro_0.0067)"
+            import hashlib
+
+            with open(e_ckpt, "rb") as fh:
+                e_sha = hashlib.sha256(fh.read()).hexdigest()
+            extra["entro_codec_params"] = f"trained ({os.path.dirname(e_ckpt)})"
+            extra["entro_codec_params_sha256"] = e_sha[:16]
+        else:
+            extra["entro_codec_params"] = "UNTRAINED FALLBACK"
         e_coder = ChannelCoder(e_model, e_params, name="entroformer_cb")
         blobs = e_coder.compress_batch(x)        # warmup/compile
         rec = e_coder.decompress_batch(blobs)
