@@ -59,7 +59,9 @@ class ResidualBlock(nn.Module):
     """conv3x3 → LeakyReLU → conv3x3 → LeakyReLU (+1x1 skip on ch change).
 
     CompressAI ``ResidualBlock`` — the unit of ``Win_noShift_Attention``'s
-    ``conv_a``/``conv_b`` branches (``layers/layers.py:87-102``).
+    ``conv_a``/``conv_b`` branches (``layers/layers.py:87-102``).  The
+    LeakyReLUs ride the conv epilogues (in-kernel on the packed Pallas
+    path, where a separate activation costs a full extra HBM pass).
     """
 
     features: int
@@ -67,13 +69,13 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = Conv2d(self.features, kernel_size=3, padding=1)(x)
-        out = leaky_relu(out)
+        out = Conv2d(
+            self.features, kernel_size=3, padding=1, fused_act="leaky_relu"
+        )(x)
         out = Conv2d(
             self.features, kernel_size=3, padding=1,
-            kernel_init=residual_out_init,
+            kernel_init=residual_out_init, fused_act="leaky_relu",
         )(out)
-        out = leaky_relu(out)
         if x.shape[-1] != self.features:
             identity = Conv2d(self.features, kernel_size=1)(x)
         return out + identity
@@ -91,8 +93,10 @@ class ResidualBlockWithStride(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        out = Conv2d(self.features, kernel_size=3, stride=self.stride, padding=1)(x)
-        out = leaky_relu(out)
+        out = Conv2d(
+            self.features, kernel_size=3, stride=self.stride, padding=1,
+            fused_act="leaky_relu",
+        )(x)
         out = Conv2d(
             self.features, kernel_size=3, padding=1,
             kernel_init=residual_out_init,
@@ -156,13 +160,13 @@ class ResidualBlock3x3(nn.Module):
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = Conv2d(self.features, kernel_size=3, padding=1)(x)
-        out = leaky_relu(out)
+        out = Conv2d(
+            self.features, kernel_size=3, padding=1, fused_act="leaky_relu"
+        )(x)
         out = Conv2d(
             self.features, kernel_size=3, padding=1,
-            kernel_init=residual_out_init,
+            kernel_init=residual_out_init, fused_act="leaky_relu",
         )(out)
-        out = leaky_relu(out)
         if x.shape[-1] != self.features:
             identity = Conv2d(self.features, kernel_size=1)(x)
         return out + identity
@@ -179,15 +183,16 @@ class ResidualBlock3_5(nn.Module):
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = Conv2d(self.features, kernel_size=3, padding=1)(x)
-        out = leaky_relu(out)
-        out = Conv2d(self.features, kernel_size=5, padding=2)(out)
-        out = leaky_relu(out)
+        out = Conv2d(
+            self.features, kernel_size=3, padding=1, fused_act="leaky_relu"
+        )(x)
+        out = Conv2d(
+            self.features, kernel_size=5, padding=2, fused_act="leaky_relu"
+        )(out)
         out = Conv2d(
             self.features, kernel_size=3, padding=1,
-            kernel_init=residual_out_init,
+            kernel_init=residual_out_init, fused_act="leaky_relu",
         )(out)
-        out = leaky_relu(out)
         if x.shape[-1] != self.features:
             identity = Conv2d(self.features, kernel_size=1)(x)
         return out + identity
@@ -203,9 +208,8 @@ class ResidualBlock5x5(nn.Module):
         identity = x
         out = Conv2d(
             self.features, kernel_size=5, padding=2,
-            kernel_init=residual_out_init,
+            kernel_init=residual_out_init, fused_act="leaky_relu",
         )(x)
-        out = leaky_relu(out)
         if x.shape[-1] != self.features:
             identity = Conv2d(self.features, kernel_size=1)(x)
         return out + identity

@@ -359,6 +359,38 @@ def _convs1_packed_bwd(res, g):
 _convs1_packed.defvjp(_convs1_packed_fwd, _convs1_packed_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _convs1_packed_ba(x, kernel, bias, act):
+    """Packed conv with bias + activation fused into the kernel epilogue
+    (the LeakyReLU after every WAM-branch conv otherwise costs a full
+    extra HBM pass — XLA cannot fuse INTO a pallas_call)."""
+    from .pallas_conv_s1 import convk_s1_pallas
+
+    return convk_s1_pallas(
+        x, kernel, bias, act=act, interpret=_PACKED_INTERPRET
+    )
+
+
+def _xla_convs1_ba(x, kernel, bias, act):
+    y = _xla_convs1_same(x, kernel) + bias.astype(x.dtype)
+    if act == "leaky_relu":
+        y = jax.nn.leaky_relu(y)
+    return y
+
+
+def _convs1_packed_ba_fwd(x, kernel, bias, act):
+    return _convs1_packed_ba(x, kernel, bias, act), (x, kernel, bias)
+
+
+def _convs1_packed_ba_bwd(act, res, g):
+    x, kernel, bias = res
+    _, vjp = jax.vjp(lambda a, b, c: _xla_convs1_ba(a, b, c, act), x, kernel, bias)
+    return vjp(g)
+
+
+_convs1_packed_ba.defvjp(_convs1_packed_ba_fwd, _convs1_packed_ba_bwd)
+
+
 def _use_packed_s1(cin: int, k: int, stride: int, padding) -> bool:
     return (
         _packed_conv_on()
@@ -386,6 +418,10 @@ class Conv2d(nn.Module):
     kernel_init: Callable = default_kernel_init
     bias_init: Callable = default_bias_init
     dtype: Any = None
+    # fused activation: callers that would apply this right after the conv
+    # pass it here instead — the packed Pallas path runs it in-kernel, every
+    # other path applies it post-bias, so semantics are caller-independent.
+    fused_act: Any = None  # None | 'leaky_relu'
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -406,6 +442,19 @@ class Conv2d(nn.Module):
         ):
             y = _conv5s2_fast(x.astype(dtype), kernel.astype(dtype))
         elif _use_packed_s1(x.shape[-1], k, self.stride, self.padding):
+            if self.use_bias or self.fused_act is not None:
+                bias = (
+                    self.param(
+                        "bias", self.bias_init, (self.features,), jnp.float32
+                    )
+                    if self.use_bias
+                    else jnp.zeros((self.features,), jnp.float32)
+                )
+                y = _convs1_packed_ba(
+                    x.astype(dtype), kernel.astype(dtype),
+                    bias.astype(dtype), self.fused_act,
+                )
+                return y  # bias + act already applied in-kernel
             y = _convs1_packed(x.astype(dtype), kernel.astype(dtype))
         elif (
             _S2D_CONV
@@ -450,6 +499,10 @@ class Conv2d(nn.Module):
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
             y = y + bias.astype(dtype)
+        if self.fused_act == "leaky_relu":
+            y = jax.nn.leaky_relu(y)
+        elif self.fused_act is not None:
+            raise ValueError(f"unknown fused_act {self.fused_act!r}")
         return y
 
 

@@ -436,3 +436,29 @@ class TestPackedConvS1:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
             )
+
+    def test_conv2d_fused_act_forward_and_grad(self):
+        """fused_act='leaky_relu' through Conv2d takes the in-kernel
+        bias+act epilogue on the packed path; forward + grads must match
+        the XLA restatement."""
+        from lic_tpu.layers.conv import Conv2d, set_packed_conv
+
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.standard_normal((1, 8, 16, 192)).astype(np.float32))
+        m = Conv2d(192, kernel_size=3, padding=1, fused_act="leaky_relu")
+        params = m.init(jax.random.PRNGKey(0), x)
+
+        def loss(p, xx):
+            return jnp.sum(m.apply(p, xx) ** 2)
+
+        ref_l, ref_g = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+        set_packed_conv(True, interpret=True)
+        try:
+            got_l, got_g = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+        finally:
+            set_packed_conv(False)
+        np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(got_g), jax.tree.leaves(ref_g)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+            )
