@@ -175,3 +175,68 @@ class TestNetGaForwardParity:
         np.testing.assert_allclose(
             float(out.mse), float(mse_t), rtol=2e-3, atol=2e-5
         )
+
+
+class TestPostProcessingParity:
+    """source_net_WAM with the HAN post-processing tail: full-forward
+    parity incl. HAN, LAM/CSAM, the generated 1x1, and the mean shift.
+
+    The reference re-randomizes its frozen MeanShift convs through
+    ``weight_init`` (defect register); lic_tpu applies the fixed DIV2K
+    shift the construction intends, so the torch side's sub/add_mean are
+    reset to the canonical values before comparing."""
+
+    def test_bpp_and_mse_match_with_han(self):
+        import sys
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(__file__), "..", "tools")
+        )
+        from import_torch import import_source_net_wam, load_reference_net
+
+        import jax
+        import jax.numpy as jnp
+
+        from lic_tpu.models import build_model
+
+        net = load_reference_net(
+            train_size=(1, 64, 64, 3), post_processing=True
+        )
+        net.eval()
+        with torch.no_grad():
+            mean = torch.tensor([0.4488, 0.4371, 0.4040])
+            for m, sign in ((net.HAN.sub_mean, -1), (net.add_mean, 1)):
+                m.weight.copy_(torch.eye(3).view(3, 3, 1, 1))
+                m.bias.copy_(sign * mean)
+
+        model = build_model("source_net_wam", post_processing=True)
+        x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        template = jax.eval_shape(
+            lambda k: model.init(
+                {"params": k, "noise": jax.random.PRNGKey(1)},
+                x0, training=True,
+            ),
+            jax.random.PRNGKey(0),
+        )["params"]
+        template = jax.tree.map(
+            lambda s: np.zeros(s.shape, np.float32), template
+        )
+        params = import_source_net_wam(
+            net.state_dict(), template, post_processing=True, verbose=False
+        )
+
+        x = _fixed_input()
+        with torch.no_grad():
+            bpp_t, mse_t = net(
+                torch.from_numpy(x).permute(0, 3, 1, 2), "train"
+            )
+        out = model.apply(
+            {"params": params}, jax.numpy.asarray(x), training=False,
+            use_post_processing=True,
+        )
+        np.testing.assert_allclose(
+            float(out.bpp_y), float(bpp_t), rtol=2e-3, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            float(out.mse), float(mse_t), rtol=5e-3, atol=5e-5
+        )

@@ -879,16 +879,45 @@ def import_net_ga(state_dict, template_params, verbose=True):
     return out
 
 
-def _map_han(out, sd):
-    """HAN post-processing tail + its conv generator + add_mean.
+def _map_han(out, sd, is_high=False):
+    """HAN post-processing tail + its conv generator.
 
     Reference: ``model/han.py:220-285`` (HAN_Head), hooked at
-    ``source_net_WAM.py:952-957``.
+    ``source_net_WAM.py:952-957``.  ``sub_mean``/``add_mean`` are popped
+    unmapped: lic_tpu applies the DIV2K mean shift as the FIXED function
+    the MeanShift construction intends, while the reference re-randomizes
+    those convs through ``weight_init`` (``source_net_WAM.py:841``,
+    defect register) — parity tests neutralize them on the torch side.
     """
-    raise NotImplementedError(
-        "HAN import mapping lands with the post_processing parity test; "
-        "import base checkpoints with post_processing=False"
-    )
+    ng, nb = (6, 12) if is_high else (4, 8)
+    _map_conv(out, sd, "HAN.head.0", "han/head")
+    for g in range(ng):
+        for r in range(nb):
+            base = f"HAN.body.{g}.body.{r}.body"
+            fk = f"han/group{g}/rcab{r}"
+            _map_conv(out, sd, f"{base}.0", f"{fk}/c0")
+            _map_conv(out, sd, f"{base}.2", f"{fk}/c1")
+            _map_conv(out, sd, f"{base}.3.conv_du.0", f"{fk}/ca/fc0")
+            _map_conv(out, sd, f"{base}.3.conv_du.2", f"{fk}/ca/fc1")
+        _map_conv(out, sd, f"HAN.body.{g}.body.{nb}", f"han/group{g}/tail")
+    _map_conv(out, sd, f"HAN.body.{ng}", "han/body_tail")
+    # CSAM: torch Conv3d weight (1, 1, D, H, W) → ours (D, H, W, 1, 1)
+    _set(out, "han/csa/conv", sd.pop("HAN.csa.conv.weight").transpose(2, 3, 4, 0, 1))
+    _set(out, "han/csa/bias", sd.pop("HAN.csa.conv.bias"))
+    _set(out, "han/csa/gamma", sd.pop("HAN.csa.gamma"))
+    _set(out, "han/la/gamma", sd.pop("HAN.la.gamma"))
+    _map_conv(out, sd, "HAN.last_conv", "han/last_conv")
+    _map_conv(out, sd, "HAN.last", "han/last")
+    for k in (
+        "HAN.sub_mean.weight", "HAN.sub_mean.bias",
+        "add_mean.weight", "add_mean.bias",
+    ):
+        sd.pop(k, None)
+    for j, fc in ((0, "fc0"), (2, "fc1"), (4, "fc2")):
+        _map_linear(
+            out, sd, f"conv_weights_gen_HAN.transform.{j}",
+            f"conv_weights_gen_han/{fc}",
+        )
 
 
 def main():
