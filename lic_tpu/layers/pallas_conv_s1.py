@@ -44,11 +44,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_th(h_out: int, k: int) -> int:
-    # larger row blocks amortize per-block DMA/loop overhead; VMEM holds
-    # 2 slots x (th+2p, wv, 256) comfortably through th=16 at wam0 widths
+def _pick_th(h_out: int, k: int, wv: int, wo: int, cout: int, itemsize: int) -> int:
+    """Largest row block whose working set fits VMEM (~16 MB/core): 2
+    double-buffer slots of (th+2p, wv, 256) input tile + the fp32
+    accumulator + the output block, with headroom for weights/temps."""
+    p = k // 2
+    budget = 11 * 1024 * 1024
     for th in (16, 8, 4, 2, 1):
-        if h_out % th == 0:
+        if h_out % th:
+            continue
+        need = (
+            2 * (th + 2 * p) * wv * 256 * itemsize
+            + th * wo * cout * 4
+            + th * wo * cout * itemsize
+        )
+        if need <= budget:
             return th
     return 1
 
@@ -148,11 +158,11 @@ def convk_s1_pallas(
     p = k // 2
     c_hi = cin - 128
     ho, wo = h, w
-    th = _pick_th(ho, k)
 
     # packed 256-lane input: [lo(128) | hi(64 slot) | hi shifted +1 col]
     wtot = w + 2 * p + 1                  # singles read through col w+k-1
     wv = -(-wtot // 8) * 8
+    th = _pick_th(ho, k, wv, wo, cout, jnp.dtype(x.dtype).itemsize)
     lo = jnp.pad(
         x[..., :128], ((0, 0), (p, p), (p, wv - w - p), (0, 0))
     )
