@@ -29,17 +29,26 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def timed(f, *args, iters):
+def _fence(out):
+    # On the tunneled platform `block_until_ready` returns before execution
+    # completes (docs/PERF.md measurement-integrity note); a host fetch of a
+    # scalar that depends on the last output is the only reliable fence
+    # (device programs execute in-order).
     import jax
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(leaf.reshape(-1)[0].astype("float32"))
+
+
+def timed(f, *args, iters):
     out = f(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     vals = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = f(*args)
-        jax.block_until_ready(out)
+        _fence(out)
         vals.append((time.perf_counter() - t0) / iters * 1e3)
     return statistics.median(vals)
 

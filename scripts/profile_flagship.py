@@ -27,9 +27,7 @@ def fence(x):
     return float(jnp.ravel(x[0] if isinstance(x, tuple) else x)[0])
 
 
-def timeit(f, *args, iters=10, repeats=3):
-    out = f(*args)
-    fence(out)
+def _burst(f, *args, iters, repeats=3):
     vals = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -38,6 +36,22 @@ def timeit(f, *args, iters=10, repeats=3):
         fence(out)
         vals.append((time.perf_counter() - t0) / iters * 1e3)
     return statistics.median(vals)
+
+
+def timeit(f, *args, iters=None, repeats=3):
+    """TRUE per-iter ms via a two-point (10, 50) slope fit.
+
+    A timing burst through the axon tunnel pays a ~35 ms flush/startup
+    cost plus ~0.1 ms per dispatch (probe_conv_r5 harness-floor section),
+    so single-burst timings at iters=10 overstate every stage by
+    ~3.5 ms.  The slope between two burst sizes cancels the constant.
+    """
+    out = f(*args)
+    fence(out)
+    lo, hi = 10, 50
+    t_lo = _burst(f, *args, iters=lo, repeats=repeats)
+    t_hi = _burst(f, *args, iters=hi, repeats=repeats)
+    return (t_hi * hi - t_lo * lo) / (hi - lo)
 
 
 def main():
