@@ -70,17 +70,31 @@ def _acquire_tpu_lock(path="rd_runs/tpu.lockfile", max_wait_s=2700):
 
 
 def _measure(forward, params, x, iters=20):
-    # NOTE: on the tunneled device platform `block_until_ready` returns
-    # before execution completes; a host fetch of a scalar that depends on
-    # the last output is the only reliable fence (device programs execute
-    # in-order, so the last completion implies all).
+    """Total seconds for `iters` forwards, two-point slope-corrected.
+
+    NOTE: on the tunneled device platform `block_until_ready` returns
+    before execution completes; a host fetch of a scalar that depends on
+    the last output is the only reliable fence (device programs execute
+    in-order, so the last completion implies all).  A fenced burst also
+    pays a ~35 ms flush/startup constant (probe_conv_r5 harness-floor
+    measurement, round 5), so a single burst at small `iters` overstates
+    per-iter cost by ~35/iters ms; the slope between an `iters` and a
+    5·`iters` burst cancels the constant.  Returns slope · iters so call
+    sites keep their `mp_batch * iters / _measure(...)` shape.
+    """
     out = forward(params, x)  # warmup / compile
     float(out[1])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(params, x)
-    float(out[1])
-    return time.perf_counter() - t0
+
+    def burst(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = forward(params, x)
+        float(out[1])
+        return time.perf_counter() - t0
+
+    t_lo = burst(iters)
+    t_hi = burst(iters * 5)
+    return (t_hi - t_lo) / 4.0
 
 
 def _bench_batch(batch, h, w):
@@ -425,6 +439,7 @@ def main():
     except Exception as e:
         extra["ns_codec_error"] = f"{type(e).__name__}: {e}"
 
+    extra["timing"] = "two-point slope fit (burst-constant corrected, r5)"
     extra = {
         k: (round(v, 4) if isinstance(v, float) else v)
         for k, v in extra.items()

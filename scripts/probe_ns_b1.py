@@ -21,6 +21,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def _fence(out):
+    # block_until_ready does not fence on the tunneled platform
+    # (docs/PERF.md); fetch a scalar that depends on the last output.
+    import jax
+
+    leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "reshape")]
+    if leaves:
+        float(leaves[-1].reshape(-1)[0].astype("float32"))
+
+
 def main():
     from lic_tpu.utils.cache import enable_compilation_cache
 
@@ -53,7 +63,7 @@ def main():
         for _ in range(3):
             t0 = time.perf_counter()
             out = f()
-            jax.block_until_ready(out) if hasattr(out, "block_until_ready") else None
+            _fence(out)
             ts.append(time.perf_counter() - t0)
         mp = 512 * 768 / 1e6
         print(f"  {label}: {min(ts)*1e3:7.1f} ms  ({mp/min(ts):.3f} MP/s)", flush=True)
@@ -74,12 +84,12 @@ def main():
     for label, flag in (("encode-mode scan (head only)", 0),
                         ("decode-mode scan (head+drain)", 1)):
         out = fn(h2, payload, y_known, jnp.int32(flag))   # compile
-        jax.block_until_ready(out)
+        _fence(out)
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
             out = fn(h2, payload, y_known, jnp.int32(flag))
-            jax.block_until_ready(out)
+            _fence(out)
             ts.append(time.perf_counter() - t0)
         best = min(ts)
         print(
