@@ -27,7 +27,7 @@ fi
 if [ ! -f rd_runs/v2_src_0.0130/params.npz ]; then
   if ! grep -q "out rd_runs/v2_src_0.0130$" "$Q"; then
     printf '%s\n' \
-      "timeout -k 60 2700 python scripts/train_real.py --preset source_net --lmbda 0.0130 --steps 20000 --out rd_runs/v2_src_0.0130" \
+      "timeout -k 60 2700 python scripts/train_real.py --preset source_net --lmbda 0.0130 --steps 20000 --tag regen --out rd_runs/v2_src_0.0130" \
       | cat - "$Q" > "$Q.tmp" && mv "$Q.tmp" "$Q"
     echo "queued bench-checkpoint regen (bench.py falls back to random init without it)"
   fi

@@ -143,6 +143,11 @@ def main():
     ap.add_argument("--crop", type=int, default=256)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--tag", default="",
+                    help="suffix for this run's log/eval files (e.g. "
+                    "'regen_20k' writes train_log_regen_20k.txt + "
+                    "eval_regen_20k.json) so a re-run into an existing out "
+                    "dir cannot clobber a committed result's provenance")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--wd", type=float, default=0.0,
                     help="decoupled weight decay (AdamW) for the base "
@@ -287,7 +292,9 @@ def main():
     # Self-delimiting log: runs append to the same train_log.txt across
     # driver resets/retrains, so each run stamps a header line (multi-block
     # logs without one confused result provenance — ADVICE round 3).
-    with open(os.path.join(args.out, "train_log.txt"), "a") as fd:
+    log_name = f"train_log_{args.tag}.txt" if args.tag else "train_log.txt"
+    eval_name = f"eval_{args.tag}.json" if args.tag else "eval.json"
+    with open(os.path.join(args.out, log_name), "a") as fd:
         fd.write(
             "=== run %s :: %s\n"
             % (time.strftime("%Y-%m-%d %H:%M:%S"), " ".join(sys.argv[1:]))
@@ -310,7 +317,7 @@ def main():
                 f"  {time.time()-t0:7.1f}s"
             )
             print(line, flush=True)
-            with open(os.path.join(args.out, "train_log.txt"), "a") as fd:
+            with open(os.path.join(args.out, log_name), "a") as fd:
                 fd.write(line + "\n")
             # the train step skip-guards non-finite updates (params stay
             # clean); abort only when divergence is persistent
@@ -405,7 +412,7 @@ def main():
             for k in range(model.cfg.gain_units)
         ]
     print(json.dumps(result), flush=True)
-    with open(os.path.join(args.out, "eval.json"), "w") as fd:
+    with open(os.path.join(args.out, eval_name), "w") as fd:
         json.dump(result, fd, indent=1)
 
 
