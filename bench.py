@@ -342,7 +342,28 @@ def main():
         from lic_tpu.utils.checkpoint import load_params
         import os
 
-        e_model = build_model("entroformer_cb")
+        # preferred rate point first; resets may leave only siblings —
+        # the chosen dir + sha are recorded so rate-point switches are
+        # visible instead of silent.  Each dir pins the preset it was
+        # trained with (the round-5 _full runs use the reference-sized
+        # context config — loading them into the scaled-down model would
+        # shape-mismatch).
+        e_dirs = [
+            ("v2_entrofull_0.0067_40k", "entroformer_cb_full"),
+            ("v2_entrofull_0.0067", "entroformer_cb_full"),
+            ("v2_entro_0.0067", "entroformer_cb"),
+            ("v2_entro_0.0130", "entroformer_cb"),
+            ("v2_entro_0.0025", "entroformer_cb"),
+        ]
+        e_ckpt, e_preset = next(
+            (
+                (f"rd_runs/{d}/params.npz", pr)
+                for d, pr in e_dirs
+                if os.path.exists(f"rd_runs/{d}/params.npz")
+            ),
+            (None, "entroformer_cb"),
+        )
+        e_model = build_model(e_preset)
         e_init = jax.jit(
             lambda k, xx: e_model.init(
                 {"params": k, "noise": jax.random.PRNGKey(1)},
@@ -350,18 +371,6 @@ def main():
             )
         )
         e_params = e_init(jax.random.PRNGKey(0), x)["params"]
-        # preferred rate point first; resets may leave only siblings —
-        # the chosen dir + sha are recorded so rate-point switches are
-        # visible instead of silent
-        e_dirs = ["v2_entro_0.0067", "v2_entro_0.0130", "v2_entro_0.0025"]
-        e_ckpt = next(
-            (
-                f"rd_runs/{d}/params.npz"
-                for d in e_dirs
-                if os.path.exists(f"rd_runs/{d}/params.npz")
-            ),
-            None,
-        )
         if e_ckpt:
             e_params = load_params(e_ckpt, e_params)
             import hashlib
@@ -372,7 +381,7 @@ def main():
             extra["entro_codec_params_sha256"] = e_sha[:16]
         else:
             extra["entro_codec_params"] = "UNTRAINED FALLBACK"
-        e_coder = ChannelCoder(e_model, e_params, name="entroformer_cb")
+        e_coder = ChannelCoder(e_model, e_params, name=e_preset)
         blobs = e_coder.compress_batch(x)        # warmup/compile
         rec = e_coder.decompress_batch(blobs)
         _ = float(jnp.ravel(rec)[0])
