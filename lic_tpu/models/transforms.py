@@ -33,6 +33,12 @@ from ..layers import (
 _DOWN_PAD = (1, 2, 1, 2)
 
 
+def _chain(x, layers):
+    for layer in layers:
+        x = layer(x)
+    return x
+
+
 def _down5(features: int, name: str) -> Conv2d:
     return Conv2d(features, kernel_size=5, stride=2, padding=_DOWN_PAD, name=name)
 
@@ -55,10 +61,40 @@ class _Up5(nn.Module):
 
 
 class AnalysisTransform(nn.Module):
-    """g_a: 3 → N channels, /16 spatial."""
+    """g_a: 3 → N channels, /16 spatial.
+
+    ``prefix`` (static, profiling only): run just the first k steps of the
+    rich sequence and return that intermediate — `profile_transform_r5`
+    times cumulative prefixes so each step's marginal cost is measured
+    WITH its real fusion context (single source of truth for the step
+    list; ignored by the plain variants and in training).
+    """
 
     N: int
     variant: str = "plain"  # 'plain' | 'plain_wam' | 'rich'
+    prefix: int = -1
+
+    def rich_steps(self):
+        n = self.N
+        steps = [
+            ("rb0_x3", lambda x: _chain(
+                x, [ResidualBottleneck(x.shape[-1], name=f"rb0_{i}")
+                    for i in range(3)])),
+            ("rbs0", lambda x: ResidualBlockWithStride(
+                n, stride=2, name="rbs0")(x)),
+            ("gdn0", lambda x: GDN(n, name="gdn0")(x)),
+            ("down1", lambda x: _down5(n, "down1")(x)),
+            ("gdn1", lambda x: GDN(n, name="gdn1")(x)),
+            ("wam0", lambda x: WinNoShiftAttention(n, 8, 8, 4, name="wam0")(x)),
+            ("rb1_x3", lambda x: _chain(
+                x, [ResidualBottleneck(n, name=f"rb1_{i}") for i in range(3)])),
+            ("rbs1", lambda x: ResidualBlockWithStride(
+                n, stride=2, name="rbs1")(x)),
+            ("gdn2", lambda x: GDN(n, name="gdn2")(x)),
+            ("down3", lambda x: _down5(n, "down3")(x)),
+            ("wam1", lambda x: WinNoShiftAttention(n, 8, 4, 2, name="wam1")(x)),
+        ]
+        return steps
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -79,20 +115,11 @@ class AnalysisTransform(nn.Module):
             return x
 
         assert self.variant == "rich"
-        in_dim = x.shape[-1]
-        for i in range(3):
-            x = ResidualBottleneck(in_dim, name=f"rb0_{i}")(x)
-        x = ResidualBlockWithStride(n, stride=2, name="rbs0")(x)
-        x = GDN(n, name="gdn0")(x)
-        x = _down5(n, "down1")(x)
-        x = GDN(n, name="gdn1")(x)
-        x = WinNoShiftAttention(n, 8, 8, 4, name="wam0")(x)
-        for i in range(3):
-            x = ResidualBottleneck(n, name=f"rb1_{i}")(x)
-        x = ResidualBlockWithStride(n, stride=2, name="rbs1")(x)
-        x = GDN(n, name="gdn2")(x)
-        x = _down5(n, "down3")(x)
-        x = WinNoShiftAttention(n, 8, 4, 2, name="wam1")(x)
+        steps = self.rich_steps()
+        if self.prefix >= 0:
+            steps = steps[: self.prefix]
+        for _, fn in steps:
+            x = fn(x)
         return x
 
 
@@ -103,6 +130,25 @@ class SynthesisTransform(nn.Module):
     N: int
     out_channels: int
     variant: str = "plain"  # 'plain' | 'plain_wam' | 'rich' | 'rbs'
+    prefix: int = -1  # rich-variant profiling knob, see AnalysisTransform
+
+    def rich_steps(self):
+        n = self.N
+        filters = [n, n, n, self.out_channels]
+        return [
+            ("wam0", lambda x: WinNoShiftAttention(
+                x.shape[-1], 8, 4, 2, name="wam0")(x)),
+            ("up0", lambda x: _Up5(filters[0], name="up0")(x)),
+            ("igdn0", lambda x: GDN(filters[0], inverse=True, name="igdn0")(x)),
+            ("up1", lambda x: _Up5(filters[1], name="up1")(x)),
+            ("igdn1", lambda x: GDN(filters[1], inverse=True, name="igdn1")(x)),
+            ("wam1", lambda x: WinNoShiftAttention(
+                filters[1], 8, 8, 2, name="wam1")(x)),
+            ("up2", lambda x: _Up5(filters[2], name="up2")(x)),
+            ("igdn2", lambda x: GDN(filters[2], inverse=True, name="igdn2")(x)),
+            ("up3", lambda x: _Up5(filters[3], name="up3")(x)),
+            ("igdn3", lambda x: GDN(filters[3], inverse=True, name="igdn3")(x)),
+        ]
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -133,16 +179,11 @@ class SynthesisTransform(nn.Module):
 
         assert self.variant == "rich"
         # net_unet_ha_hs.py:287-326: WAM(ws4,ss2) in, WAM(ws8,ss2) mid
-        x = WinNoShiftAttention(x.shape[-1], 8, 4, 2, name="wam0")(x)
-        x = _Up5(filters[0], name="up0")(x)
-        x = GDN(filters[0], inverse=True, name="igdn0")(x)
-        x = _Up5(filters[1], name="up1")(x)
-        x = GDN(filters[1], inverse=True, name="igdn1")(x)
-        x = WinNoShiftAttention(filters[1], 8, 8, 2, name="wam1")(x)
-        x = _Up5(filters[2], name="up2")(x)
-        x = GDN(filters[2], inverse=True, name="igdn2")(x)
-        x = _Up5(filters[3], name="up3")(x)
-        x = GDN(filters[3], inverse=True, name="igdn3")(x)
+        steps = self.rich_steps()
+        if self.prefix >= 0:
+            steps = steps[: self.prefix]
+        for _, fn in steps:
+            x = fn(x)
         return x
 
 
