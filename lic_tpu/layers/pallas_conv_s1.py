@@ -93,16 +93,21 @@ def _convk_s1_kernel(
     dma(slot, bi, i).wait()
     tile = xt[slot]
 
-    acc = jnp.zeros((th * wo, cout), jnp.float32)
+    # NOTE: accumulate in (th, wo, cout) with dot_general over the raw
+    # 3-D views — an explicit `.reshape(th*wo, 128)` of the sliced view
+    # (wo < wv ⇒ non-contiguous) forced a per-tap materializing copy
+    # (~th·wo·128·2B per tap), which held the first cut of this kernel to
+    # ~70 TF/s of pass work vs XLA's ~134 (probe_conv_r5).
+    dn = (((2,), (0,)), ((), ()))
+    acc = jnp.zeros((th, wo, cout), jnp.float32)
     for jw in range(k):
         # one misaligned sublane slice per column offset (hoisted; Mosaic
         # lowers it to a single vector-shift relayout)
         v = tile[:, jw : jw + wo, :]
         for a in range(k):
             sl = v[a : a + th]
-            acc = acc + jnp.dot(
-                sl[..., :128].reshape(th * wo, 128),
-                wlo_ref[a * k + jw],
+            acc = acc + jax.lax.dot_general(
+                sl[..., :128], wlo_ref[a * k + jw], dn,
                 preferred_element_type=jnp.float32,
             )
         if jw % 2 == 0:
@@ -110,12 +115,10 @@ def _convk_s1_kernel(
             # weight half is zero (k odd ⇒ singles land on even jw)
             for a in range(k):
                 sl = v[a : a + th]
-                acc = acc + jnp.dot(
-                    sl[..., 128:].reshape(th * wo, 128),
-                    whi_ref[a * n_hi + jw // 2],
+                acc = acc + jax.lax.dot_general(
+                    sl[..., 128:], whi_ref[a * n_hi + jw // 2], dn,
                     preferred_element_type=jnp.float32,
                 )
-
     acc = acc + b_ref[0].astype(jnp.float32)
     if act == "leaky_relu":
         acc = jnp.where(acc >= 0, acc, 0.01 * acc)
@@ -125,9 +128,9 @@ def _convk_s1_kernel(
         c = tile[p : p + th, p : p + wo, :]
         skip = jnp.concatenate(
             [c[..., :128], c[..., 128 : 128 + c_hi]], axis=-1
-        ).reshape(th * wo, 128 + c_hi)
+        )
         acc = acc + skip.astype(jnp.float32)
-    out_ref[...] = acc.reshape(1, th, wo, cout).astype(out_ref.dtype)
+    out_ref[...] = acc[None].astype(out_ref.dtype)
 
 
 @functools.partial(
