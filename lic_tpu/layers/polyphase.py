@@ -90,20 +90,36 @@ def conv_transpose2d_subpel(
         ),
     )
 
-    # scatter sub-kernels: phase (rh, rw) occupies out-channel block
-    # (rh·s + rw)·cout; tap (a_h, a_w) lands at window position
-    # (off_h − o_min, off_w − o_min)
-    k3 = jnp.zeros((kw, kw, cin, s * s * cout), kernel.dtype)
+    # assemble sub-kernels closed-form: phase (rh, rw) occupies out-channel
+    # block (rh·s + rw)·cout and its taps are the strided slice
+    # kernel[a0_h::s, a0_w::s] placed at window offset (off0 − o_min) —
+    # s² (slice + pad) + one concat.  (The first cut built k3 with k²·s²/…
+    # dynamic-update-slices; the kernel is a traced PARAM, so that scatter
+    # chain re-ran inside every forward.)
+    planes = []
     for rh in range(s):
         taps_h, offs_h = phase_info[rh]
         for rw in range(s):
             taps_w, offs_w = phase_info[rw]
-            blk = (rh * s + rw) * cout
-            for a, oh in zip(taps_h, offs_h):
-                for c, ow in zip(taps_w, offs_w):
-                    k3 = k3.at[oh - o_min, ow - o_min, :, blk : blk + cout].set(
-                        kernel[a, c]
-                    )
+            if not taps_h or not taps_w:
+                planes.append(jnp.zeros((kw, kw, cin, cout), kernel.dtype))
+                continue
+            sub = kernel[taps_h[0] :: s, taps_w[0] :: s]
+            th, tw = sub.shape[0], sub.shape[1]
+            oh0 = offs_h[0] - o_min
+            ow0 = offs_w[0] - o_min
+            planes.append(
+                jnp.pad(
+                    sub,
+                    (
+                        (oh0, kw - th - oh0),
+                        (ow0, kw - tw - ow0),
+                        (0, 0),
+                        (0, 0),
+                    ),
+                )
+            )
+    k3 = jnp.concatenate(planes, axis=-1)
 
     y = lax.conv_general_dilated(
         xp, k3.astype(x.dtype), (1, 1), "VALID",
