@@ -50,6 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
+    # persistent XLA compile cache: CLI invocations are separate
+    # processes; without this every run pays multi-minute fresh
+    # compiles on this host (round-5 finding: verify_cli spent
+    # ~28 min in compiles the cache already knew)
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
