@@ -45,19 +45,25 @@ def _down5(features: int, name: str) -> Conv2d:
 
 class _Up5(nn.Module):
     """ZeroPad2d((1,0,1,0)) + ConvTranspose2d(5, 2, 3, output_padding=1):
-    exact H → 2H (``model/net.py:128-129``)."""
+    exact H → 2H (``model/net.py:128-129``).
+
+    Computed as ConvTranspose2d(5, 2, padding=1, output_padding=1) on the
+    UNPADDED input, trimmed to the first 2H×2W rows/cols — bit-identical
+    (the zero pre-pad row only shifts the output grid; test_pallas and a
+    round-5 CPU check pin maxdev 0.0), and it keeps the conv input at the
+    even spatial size the subpel lowering wants instead of (H+1, W+1).
+    """
 
     features: int
 
     @nn.compact
     def __call__(self, x):
-        import jax.numpy as jnp
-
-        x = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))
-        return ConvTranspose2d(
-            self.features, kernel_size=5, stride=2, padding=3, output_padding=1,
+        h, w = x.shape[1], x.shape[2]
+        y = ConvTranspose2d(
+            self.features, kernel_size=5, stride=2, padding=1, output_padding=1,
             name="deconv",
         )(x)
+        return y[:, : 2 * h, : 2 * w, :]
 
 
 class AnalysisTransform(nn.Module):
