@@ -110,17 +110,9 @@ def main():
     y = jnp.asarray(rng.standard_normal((8, 256, 384, 192)), jnp.bfloat16)
     wd = jnp.asarray(rng.standard_normal((5, 5, 192, 16)) * 0.05, jnp.bfloat16)
 
-    from lic_tpu.layers.conv import ConvTranspose2d
-    import flax.linen as nn
+    from lic_tpu.models.transforms import _Up5
 
-    class Up(nn.Module):
-        @nn.compact
-        def __call__(self, v):
-            v = jnp.pad(v, ((0, 0), (1, 0), (1, 0), (0, 0)))
-            return ConvTranspose2d(16, kernel_size=5, stride=2, padding=3,
-                                   output_padding=1, name="deconv")(v)
-
-    up = Up()
+    up = _Up5(16)
     pvar = up.init(jax.random.PRNGKey(0), y)
     pvar = jax.tree.map(lambda a: a.astype(jnp.bfloat16), pvar)
     f_up = jax.jit(lambda p, v: up.apply(p, v))
