@@ -47,23 +47,24 @@ class _Up5(nn.Module):
     """ZeroPad2d((1,0,1,0)) + ConvTranspose2d(5, 2, 3, output_padding=1):
     exact H → 2H (``model/net.py:128-129``).
 
-    Computed as ConvTranspose2d(5, 2, padding=1, output_padding=1) on the
-    UNPADDED input, trimmed to the first 2H×2W rows/cols — bit-identical
-    (the zero pre-pad row only shifts the output grid; test_pallas and a
-    round-5 CPU check pin maxdev 0.0), and it keeps the conv input at the
-    even spatial size the subpel lowering wants instead of (H+1, W+1).
+    Round-5 note: folding the zero pre-pad row into the deconv padding
+    (padding=1 + output trim, bit-identical) was tried and MEASURED SLOWER
+    (10.0 vs 8.8 ms at the up3 shape — the subpel lowering re-pads
+    internally for the shifted phase offsets and additionally pays the
+    output slice), so the literal form stays.
     """
 
     features: int
 
     @nn.compact
     def __call__(self, x):
-        h, w = x.shape[1], x.shape[2]
-        y = ConvTranspose2d(
-            self.features, kernel_size=5, stride=2, padding=1, output_padding=1,
+        import jax.numpy as jnp
+
+        x = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))
+        return ConvTranspose2d(
+            self.features, kernel_size=5, stride=2, padding=3, output_padding=1,
             name="deconv",
         )(x)
-        return y[:, : 2 * h, : 2 * w, :]
 
 
 class AnalysisTransform(nn.Module):
