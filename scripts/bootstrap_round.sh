@@ -39,6 +39,6 @@ if [ ! -f rd_runs/v2_src_0.0130/params.npz ]; then
 fi
 
 rm -f rd_runs/STOP
-nohup bash rd_runs/runner5.sh >/dev/null 2>&1 &
+nohup bash rd_runs/runner6.sh >/dev/null 2>&1 &
 echo $! > /tmp/runner.pid
-echo "runner5 started (pid $(cat /tmp/runner.pid)); log: rd_runs/chain7.log"
+echo "runner6 started (pid $(cat /tmp/runner.pid)); log: rd_runs/chain7.log"
